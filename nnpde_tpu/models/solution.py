@@ -1,0 +1,73 @@
+"""Solution model = functional MLP composed with an optional trial factor.
+
+One object replaces every per-script net in the reference (``SolutionNet``,
+``CriticNet``, the ``FCN`` family): the raw network u_raw and the hard-BC
+trial factor B are composed as ``u = B * u_raw``, and the fused
+forward-Laplacian propagates through *both* analytically (the factor is part
+of u, exactly as in the reference where the factor sits inside ``forward``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import calculus
+from ..ops.fwdlap import Jet, compose_product_jet, mlp_fwdlap
+from .mlp import NetSpec, init_mlp, mlp_apply_batch, mlp_apply_point
+from .trial import SeparableFactor
+
+
+class SolutionModel:
+    """Static model description; parameters live in a separate pytree."""
+
+    def __init__(self, spec: NetSpec, factor: Optional[SeparableFactor] = None):
+        self.spec = spec
+        self.factor = factor
+        self.dim = spec.layers[0]
+        if factor is not None and factor.dim != self.dim:
+            raise ValueError(
+                f"factor dim {factor.dim} != net input dim {self.dim}"
+            )
+
+    # ------------------------------------------------------------------ init
+    def init(self, key, dtype=jnp.float32):
+        return init_mlp(key, self.spec, dtype)
+
+    # --------------------------------------------------------------- forward
+    def apply_point(self, params, x):
+        u = mlp_apply_point(params, x, self.spec.activation)
+        if self.factor is not None:
+            u = u * self.factor.value_point(x)
+        return u
+
+    def apply_batch(self, params, X):
+        u = mlp_apply_batch(params, X, self.spec.activation)
+        if self.factor is not None:
+            u = u * self.factor.value(X)
+        return u
+
+    # ----------------------------------------------------------------- jets
+    def fields(self, params, X) -> Jet:
+        """Fused (u, grad u, lap u) over the collocation batch (hot path)."""
+        jet = mlp_fwdlap(params, X, self.spec.activation)
+        if self.factor is not None:
+            jet = compose_product_jet(jet, self.factor.jet(X))
+        return jet
+
+    def fields_generic(self, params, X) -> Jet:
+        """Reference implementation via forward-over-reverse autodiff
+        (correctness oracle for :meth:`fields`)."""
+        u, g, l = calculus.batched_value_grad_lap(
+            lambda x: self.apply_point(params, x)
+        )(X)
+        return Jet(value=u, grad=g, lap=l)
+
+    def value_and_grad(self, params, X):
+        """(u, grad u) without the Laplacian (DRM / WAN paths)."""
+        u, g = calculus.batched_value_and_grad_x(
+            lambda x: self.apply_point(params, x)
+        )(X)
+        return u, g
