@@ -1,0 +1,204 @@
+"""2D infinite potential well preset (PINN / DRM, techniques FBC/FN/OG).
+
+Reproduces ``train_pinn_seperate``
+(``/root/reference/Schrodinger_Equations/Infinite_Potential_Well/IPW_2D.py:127-382``):
+200x200 meshgrid collocation on [0, L]^2, lower-left-quadrant supervised
+data (IPW_2D.py:144-152), unweighted symmetry (nx == ny) and parity
+(x -> L - x with sign (-1)^(n+1)) losses (IPW_2D.py:234-245), degeneracy-
+aware orthogonality for DRM (i^2+j^2 < nx^2+ny^2, IPW_2D.py:112-124), OG
+boundary penalty on 200-point edges (IPW_2D.py:154-163,249-256).
+The reference has no WAN branch here (README claims notwithstanding —
+SURVEY.md §2.3); WAN for a 2D well is available via
+:mod:`nnpde_tpu.problems.qho2d`'s machinery and the generic losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.zoo import (
+    data_mse,
+    drm_rayleigh_unscaled,
+    orthogonal_projection,
+    pinn_helmholtz,
+    reflection_mse,
+)
+from ..models import NetSpec, SolutionModel, factor_for_technique
+from ..pde import ipw as phys
+from ..sampling import meshgrid_2d
+from ..train import fit, lbfgs_polish
+
+
+@dataclasses.dataclass
+class IPW2DConfig:
+    nx: int = 1
+    ny: int = 1
+    L: float = 2.0
+    epochs: int = 10000
+    lr: float = 1e-3
+    LBFGS: bool = False
+    method: str = "PINN"              # PINN | DRM
+    technique: str = "FBC"            # FBC | FN | OG
+    layers: Tuple[int, ...] = (2, 50, 50, 50, 50, 1)
+    grid_n: int = 200
+    data_grid_n: int = 50
+    n_boundary: int = 200
+    seed: int = 0
+    chunk: int = 1000
+    # Optional overrides of the reference weight table.  NOTE: the reference
+    # table has lambda_data = 0 and no norm loss (IPW_2D.py:172-177), so its
+    # PINN branch admits the trivial u = 0 minimiser — pass e.g.
+    # {'data': 1e4} or {'norm': 10.0} here to pin a nontrivial solution.
+    weights: Optional[Dict[str, float]] = None
+
+
+def _lower_states_2d(nx: int, ny: int, X, L: float):
+    """Degeneracy-aware lower states: (i, j) with i^2+j^2 < nx^2+ny^2."""
+    cols = []
+    for i in range(1, max(nx, ny) + 1):
+        for j in range(1, max(nx, ny) + 1):
+            if i**2 + j**2 < nx**2 + ny**2:
+                cols.append(phys.psi_2d(i, j, X[:, 0], X[:, 1], L))
+    if not cols:
+        return jnp.zeros((X.shape[0], 0), X.dtype)
+    return jnp.stack(cols, axis=1)
+
+
+def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
+    if cfg.method not in ("PINN", "DRM"):
+        raise ValueError("method must be 'PINN' or 'DRM'")
+    if cfg.technique not in ("FBC", "FN", "OG"):
+        raise ValueError(f"Unknown technique: {cfg.technique}")
+    nx, ny, L = cfg.nx, cfg.ny, cfg.L
+
+    factor = factor_for_technique(
+        cfg.technique,
+        dim=2,
+        kind="box",
+        L=L,
+        nodes_per_dim=[phys.nodes(nx, L), phys.nodes(ny, L)]
+        if cfg.technique == "FN"
+        else None,
+    )
+    model = SolutionModel(NetSpec(tuple(cfg.layers), activation="sin"), factor)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key)
+
+    X = meshgrid_2d(cfg.grid_n, 0.0, L)                       # (n^2, 2)
+    u_exact = phys.psi_2d(nx, ny, X[:, 0], X[:, 1], L)
+
+    # supervised quadrant: 50x50 grid, first 25x25 block (IPW_2D.py:144-152)
+    Xd_full = meshgrid_2d(cfg.data_grid_n, 0.0, L)
+    half = cfg.data_grid_n // 2
+    mask = (
+        jnp.arange(cfg.data_grid_n)[:, None] < half
+    ) & (jnp.arange(cfg.data_grid_n)[None, :] < half)
+    idx = jnp.nonzero(mask.reshape(-1))[0]
+    X_data = Xd_full[idx]
+    u_data = phys.psi_2d(nx, ny, X_data[:, 0], X_data[:, 1], L)
+
+    # OG boundary points: 200 per edge
+    tb = jnp.linspace(0.0, L, cfg.n_boundary)
+    X_bc = jnp.concatenate([
+        jnp.stack([tb, jnp.zeros_like(tb)], 1),
+        jnp.stack([tb, jnp.full_like(tb, L)], 1),
+        jnp.stack([jnp.zeros_like(tb), tb], 1),
+        jnp.stack([jnp.full_like(tb, L), tb], 1),
+    ])
+
+    lower = _lower_states_2d(nx, ny, X, L)
+    E = phys.energy_2d(nx, ny, L)
+    k_squared = 2.0 * E
+
+    # IPW_2D.py:172-177 (+ unweighted parity/symmetry at :258)
+    w = {
+        "data": 0.0,
+        "pde": 10.0 if cfg.method == "PINN" else 0.0,
+        "drm": 0.0 if cfg.method == "PINN" else 100.0,
+        "orth": 0.0 if cfg.method == "PINN" else 10000.0,
+        "bc": 10000.0 if cfg.technique == "OG" else 0.0,
+        "parity": 1.0,
+        "symmetry": 1.0,
+        "norm": 0.0,
+    }
+    if cfg.weights:
+        w.update(cfg.weights)
+    sign_x = 1.0 if nx % 2 == 1 else -1.0
+    sign_y = 1.0 if ny % 2 == 1 else -1.0
+
+    X_swap = X[:, ::-1]
+    X_px = jnp.stack([L - X[:, 0], X[:, 1]], 1)
+    X_py = jnp.stack([X[:, 0], L - X[:, 1]], 1)
+
+    def loss_terms(params):
+        if cfg.method == "PINN":
+            jet = model.fields(params, X)
+            u, g = jet.value, jet.grad
+            pde = pinn_helmholtz(u, jet.lap, k_squared)
+            drm = jnp.asarray(0.0)
+        else:
+            u, g = model.value_and_grad(params, X)
+            pde = jnp.asarray(0.0)
+            drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
+        terms = {
+            "pde": pde,
+            "drm": drm,
+            "data": data_mse(model.apply_batch(params, X_data), u_data),
+            "symmetry": reflection_mse(u, model.apply_batch(params, X_swap))
+            if nx == ny
+            else jnp.asarray(0.0),
+            "parity": (
+                reflection_mse(u, model.apply_batch(params, X_px), sign_x)
+                + reflection_mse(u, model.apply_batch(params, X_py), sign_y)
+            ),
+            "orth": orthogonal_projection(u, lower, L * L)
+            if w["orth"] > 0
+            else jnp.asarray(0.0),
+            "bc": jnp.mean(model.apply_batch(params, X_bc) ** 2) * 4.0
+            if w["bc"] > 0
+            else jnp.asarray(0.0),
+            "norm": (L * L * jnp.mean(u**2) - 1.0) ** 2
+            if w["norm"] > 0
+            else jnp.asarray(0.0),
+        }
+        total = sum(w[k] * terms[k] for k in w)
+        return total, terms
+
+    def loss_fn(params, key):
+        return loss_terms(params)
+
+    def eval_fn(params, key):
+        """Plain MSE on the training grid (IPW_2D.py:262-266)."""
+        u = model.apply_batch(params, X)
+        return jnp.mean((u - u_exact) ** 2)
+
+    result = fit(
+        loss_fn, eval_fn, params,
+        epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+        key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+    )
+    if cfg.LBFGS:
+        polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
+                                   max_iter=500)
+        final_m = float(eval_fn(polished, None))
+        if final_m < result.best_metric:
+            result = result._replace(
+                params=polished, best_params=polished, best_metric=final_m
+            )
+        else:
+            result = result._replace(params=polished)
+
+    return {
+        "config": dataclasses.asdict(cfg),
+        "model": model,
+        "result": result,
+        "history": result.history,
+        "L2_error": float(result.best_metric),
+        "min_epoch": result.best_epoch,
+        "weights": w,
+    }

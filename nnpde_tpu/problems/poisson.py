@@ -1,0 +1,224 @@
+"""N-D Poisson preset: PINN / DRM / WAN on ``[0, L]^d`` (d = 1..5+).
+
+Reproduces the behaviour of ``train_poisson_nd``
+(``/root/reference/Poisson_Equations/Poisson_ND.py:150-403``) as a thin
+configuration binding over the unified trainer:
+
+* methods PINN (strong residual), DRM (energy), WAN (minimax with fresh
+  resampling per critic step, Poisson_ND.py:244-253);
+* bc modes FBC (hard ``prod x_i (L - x_i)`` trial) and RB (soft Dirichlet
+  penalty on fresh per-face samples each epoch, Poisson_ND.py:130-141);
+* default weights ``{pde: 1, bc: 1e4 if RB, data: 1e3 if n_data, norm: 0}``
+  (Poisson_ND.py:169-173);
+* per-epoch eval on 10k fresh uniform points, RMSE vs the manufactured
+  prod-sin solution, best-state tracking (Poisson_ND.py:281-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    data_mse,
+    drm_poisson_energy,
+    norm_nontrivial,
+    pinn_poisson,
+    wan_pde_loss,
+    wan_weak_residual,
+)
+from ..models import NetSpec, SolutionModel, factor_for_technique
+from ..ops import bump_w
+from ..pde import poisson as phys
+from ..pde.domain import Box
+from ..sampling import face_points, uniform_box
+from ..train import FitResult, fit, fit_wan
+
+
+@dataclasses.dataclass
+class PoissonConfig:
+    dim: int = 2
+    L: float = 2.0
+    ks: Optional[Sequence[int]] = None       # default [1]*dim
+    method: str = "PINN"                     # PINN | DRM | WAN
+    bc_mode: str = "FBC"                     # FBC | RB
+    n_interior: int = 20000
+    n_boundary: int = 4000
+    n_data: int = 0
+    epochs: int = 10000
+    lr: float = 1e-3
+    width: int = 64
+    depth: int = 5
+    critic_width: int = 64
+    critic_depth: int = 3
+    critic_steps: int = 5
+    wan_reg: float = 1.0
+    norm_mode: str = "nontrivial"
+    weights: Optional[Dict[str, float]] = None
+    seed: int = 0
+    n_eval: int = 10000
+    chunk: int = 1000
+
+    def resolved_ks(self) -> Tuple[int, ...]:
+        return tuple(self.ks) if self.ks is not None else (1,) * self.dim
+
+    def resolved_weights(self) -> Dict[str, float]:
+        w = {
+            "pde": 1.0,
+            "bc": 1e4 if self.bc_mode == "RB" else 0.0,
+            "data": 1e3 if self.n_data > 0 else 0.0,
+            "norm": 0.0,
+        }
+        if self.weights:
+            w.update(self.weights)
+        return w
+
+
+def _solution_model(cfg: PoissonConfig) -> SolutionModel:
+    layers = (cfg.dim,) + (cfg.width,) * (cfg.depth - 1) + (1,)
+    factor = (
+        factor_for_technique("FBC", dim=cfg.dim, kind="box", L=cfg.L)
+        if cfg.bc_mode == "FBC"
+        else None
+    )
+    if cfg.bc_mode not in ("FBC", "RB"):
+        raise ValueError("bc_mode must be 'FBC' or 'RB'")
+    return SolutionModel(NetSpec(layers, activation="sin"), factor)
+
+
+def _critic_model(cfg: PoissonConfig) -> SolutionModel:
+    layers = (cfg.dim,) + (cfg.critic_width,) * (cfg.critic_depth - 1) + (1,)
+    return SolutionModel(NetSpec(layers, activation="sin"))
+
+
+def train_poisson_nd(cfg: PoissonConfig) -> Dict:
+    if cfg.method not in ("PINN", "DRM", "WAN"):
+        raise ValueError("method must be one of {'PINN','DRM','WAN'}")
+    ks = cfg.resolved_ks()
+    w = cfg.resolved_weights()
+    box = Box.cube(cfg.dim, 0.0, cfg.L)
+    model = _solution_model(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_x, k_data, k_train = jax.random.split(key, 4)
+    params = model.init(k_init)
+
+    # fixed interior collocation set + detached RHS (Poisson_ND.py:193-194)
+    X_in = uniform_box(k_x, cfg.n_interior, box)
+    f_in = phys.rhs_f_for_u_sin(X_in, cfg.L, ks)
+
+    if cfg.n_data > 0:
+        X_data = uniform_box(k_data, cfg.n_data, box)
+        u_data = phys.exact_u_prod_sin(X_data, cfg.L, ks)
+    else:
+        X_data = u_data = None
+
+    per_face = max(1, cfg.n_boundary // (2 * cfg.dim))
+
+    def aux_terms(params, key, u_interior):
+        """bc / data / norm losses shared by every method."""
+        if cfg.bc_mode == "RB":
+            Xb = face_points(key, per_face, box)
+            bc = jnp.mean(model.apply_batch(params, Xb) ** 2)
+        else:
+            bc = jnp.asarray(0.0)
+        data = (
+            data_mse(model.apply_batch(params, X_data), u_data)
+            if X_data is not None
+            else jnp.asarray(0.0)
+        )
+        if w["norm"] > 0:
+            if cfg.norm_mode == "nontrivial":
+                norm = norm_nontrivial(u_interior)
+            elif cfg.norm_mode == "l2":
+                norm = jnp.mean(u_interior**2)
+            else:
+                raise ValueError("norm mode should be 'nontrivial' or 'l2'")
+        else:
+            norm = jnp.asarray(0.0)
+        return bc, data, norm
+
+    def eval_fn(params, key):
+        """RMSE vs exact on fresh uniform points (Poisson_ND.py:281-285)."""
+        X_te = uniform_box(key, cfg.n_eval, box)
+        u = model.apply_batch(params, X_te)
+        return jnp.sqrt(jnp.mean((u - phys.exact_u_prod_sin(X_te, cfg.L, ks)) ** 2))
+
+    optimizer = optax.adam(cfg.lr)
+
+    if cfg.method in ("PINN", "DRM"):
+
+        def loss_fn(params, key):
+            if cfg.method == "PINN":
+                jet = model.fields(params, X_in)
+                pde = pinn_poisson(jet.lap, f_in)
+                u_int = jet.value
+            else:
+                u_int, g = model.value_and_grad(params, X_in)
+                pde = drm_poisson_energy(u_int, g, f_in)
+            bc, data, norm = aux_terms(params, key, u_int)
+            total = w["pde"] * pde + w["bc"] * bc + w["data"] * data + w["norm"] * norm
+            return total, {"pde": pde, "bc": bc, "data": data, "norm": norm}
+
+        result = fit(
+            loss_fn, eval_fn, params,
+            epochs=cfg.epochs, optimizer=optimizer, key=k_train, chunk=cfg.chunk,
+        )
+    else:  # WAN
+        critic = _critic_model(cfg)
+        v_params = critic.init(jax.random.fold_in(k_init, 1))
+
+        def wan_core(u_params, v_params, X, f):
+            u, gu = model.value_and_grad(u_params, X)
+            v, gv = critic.value_and_grad(v_params, X)
+            wv, dwv = bump_w(X, 0.0, cfg.L)
+            phi = wv * v
+            gphi = dwv * v[:, None] + wv[:, None] * gv
+            weak = wan_weak_residual(gu, phi, gphi, f=f, prefactor=1.0)
+            phi_norm = jnp.mean(phi**2)
+            loss_pde = wan_pde_loss(weak, phi_norm)
+            return loss_pde, weak, phi_norm, u, v, gv
+
+        def v_loss_fn(v_params, u_params, key):
+            """Critic objective -log(loss_pde) + reg * mean(|grad v|^2 + v^2),
+            on a fresh interior sample (Poisson_ND.py:105-128,244-248)."""
+            Xc = uniform_box(key, cfg.n_interior, box)
+            fc = phys.rhs_f_for_u_sin(Xc, cfg.L, ks)
+            loss_pde, _, _, _, v, gv = wan_core(u_params, v_params, Xc, fc)
+            v_reg = jnp.mean(jnp.sum(gv * gv, axis=-1) + v * v)
+            return -jnp.log(loss_pde + 1e-8) + cfg.wan_reg * v_reg
+
+        def u_loss_fn(u_params, v_params, key):
+            Xu = uniform_box(key, cfg.n_interior, box)
+            fu = phys.rhs_f_for_u_sin(Xu, cfg.L, ks)
+            loss_pde, weak, phi_norm, u_int, _, _ = wan_core(u_params, v_params, Xu, fu)
+            bc, data, norm = aux_terms(u_params, jax.random.fold_in(key, 7), u_int)
+            total = (
+                w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data + w["norm"] * norm
+            )
+            return total, {
+                "pde": loss_pde, "bc": bc, "data": data, "norm": norm,
+                "wan_weak": weak, "wan_phi_norm": phi_norm,
+            }
+
+        result = fit_wan(
+            u_loss_fn, v_loss_fn, eval_fn, params, v_params,
+            epochs=cfg.epochs, v_steps=cfg.critic_steps,
+            u_optimizer=optimizer, v_optimizer=optax.adam(cfg.lr),
+            key=k_train, chunk=min(cfg.chunk, 500),
+        )
+
+    return {
+        "config": dataclasses.asdict(cfg),
+        "model": model,
+        "result": result,
+        "history": result.history,
+        "final_l2": float(result.history["l2"][-1]),
+        "best_l2": result.best_metric,
+        "best_epoch": result.best_epoch,
+    }

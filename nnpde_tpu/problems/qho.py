@@ -1,0 +1,275 @@
+"""Quantum harmonic oscillator presets (1D PINN/DRM and 1D WAN).
+
+Reproduces:
+* ``train_pinn_single`` (the second, surviving definition) —
+  ``/root/reference/Schrodinger_Equations/Quantum_Harmonic_Oscillator/QHO_1D_PINN_DRM.py:386-575``
+  — techniques BC (soft) / OG (hard exp window + orthogonality) / FN (hard
+  window + Hermite nodes), fixed exact energy in the residual, trapezoid
+  normalisation loss.
+* ``train_seperate`` (WAN) — ``QHO_1D_WAN.py:159-362`` — the energy is a
+  **trainable parameter** inside the weak form (QHO_1D_WAN.py:101,131); here
+  it lives as an extra leaf of the primal parameter pytree, updated by the
+  same Adam step (replacing the reference's nn.Parameter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.zoo import (
+    data_mse,
+    drm_rayleigh,
+    norm_integral,
+    norm_trapezoid,
+    orthogonal_projection,
+    pinn_schrodinger,
+    wan_pde_loss,
+    wan_weak_residual,
+)
+from ..models import NetSpec, SolutionModel, factor_for_technique
+from ..ops import bump_w
+from ..ops.quadrature import sign_aware_mse
+from ..pde import qho as phys
+from ..sampling import linspace_grid, mid_fraction_every_kth
+from ..train import fit, fit_wan, lbfgs_polish
+
+
+def _qho_factor(technique: str, n: int, x_max: float):
+    return factor_for_technique(
+        technique,
+        dim=1,
+        kind="window",
+        L=x_max,
+        nodes_per_dim=[phys.nodes(n)] if technique == "FN" else None,
+    )
+
+
+def _lower_states(n: int, x):
+    if n <= 0:
+        return jnp.zeros((x.shape[0], 0), x.dtype)
+    return jnp.stack([phys.psi_1d(k, x) for k in range(n)], axis=1)
+
+
+@dataclasses.dataclass
+class QHO1DConfig:
+    n: int = 0
+    x_max: float = 6.0
+    epochs: int = 3000
+    lr: float = 1e-3
+    layers: Tuple[int, ...] = (1, 200, 200, 200, 1)
+    LBFGS: bool = False
+    method: str = "DRM"               # PINN | DRM
+    technique: str = "BC"             # BC | OG | FN
+    grid_n: int = 1000
+    data_fraction: float = 0.25
+    data_stride: int = 10
+    seed: int = 0
+    chunk: int = 1000
+
+
+def train_qho_1d(cfg: QHO1DConfig) -> Dict:
+    if cfg.method not in ("PINN", "DRM"):
+        raise ValueError("method must be 'PINN' or 'DRM'")
+    if cfg.technique not in ("BC", "OG", "FN"):
+        raise ValueError(
+            f"Unknown technique: {cfg.technique}. Choose 'BC', 'OG', or 'FN'."
+        )
+    n, x_max = cfg.n, cfg.x_max
+    model = SolutionModel(
+        NetSpec(tuple(cfg.layers), activation="sin"),
+        _qho_factor(cfg.technique, n, x_max),
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key)
+
+    x_grid = linspace_grid(cfg.grid_n, -x_max, x_max)
+    x_flat = x_grid[:, 0]
+    dx = x_flat[1] - x_flat[0]
+    u_exact = phys.psi_1d(n, x_flat)
+    idx = mid_fraction_every_kth(cfg.grid_n, cfg.data_fraction, cfg.data_stride)
+    x_data, u_data = x_grid[idx], u_exact[idx]
+    x_bc = jnp.array([[-x_max], [x_max]])
+    lower = _lower_states(n, x_flat)
+    V = phys.potential_1d(x_flat)
+    E = phys.energy_1d(n)
+    hard_bc = cfg.technique in ("OG", "FN")
+
+    # QHO_1D_PINN_DRM.py:441-457
+    w = {
+        "orth": 100.0 if cfg.technique == "OG" else 0.0,
+        "data": 1000.0,
+        "bc": 0.0 if hard_bc else 10.0,
+        "pde": 10.0 if cfg.method == "PINN" else 0.0,
+        "drm": 10.0 if cfg.method == "DRM" else 0.0,
+        "norm": 10.0,
+    }
+    # Orthogonal_loss uses volume 2 * domain_length = 4 * x_max
+    # (QHO_1D_PINN_DRM.py:207-209 with domain_length = 2 * X_max).
+    orth_volume = 4.0 * x_max
+
+    def loss_terms(params):
+        jet = model.fields(params, x_grid)
+        u, g = jet.value, jet.grad
+        terms = {
+            "data": data_mse(model.apply_batch(params, x_data), u_data),
+            "bc": data_mse(model.apply_batch(params, x_bc), jnp.zeros((2,))),
+            "pde": pinn_schrodinger(u, jet.lap, V, E),
+            "drm": drm_rayleigh(u, g, V),
+            "norm": norm_trapezoid(u, dx),
+            "orth": orthogonal_projection(u, lower, orth_volume, eps=0.0)
+            if n > 0
+            else jnp.asarray(0.0),
+        }
+        total = sum(w[k] * terms[k] for k in w)
+        return total, terms
+
+    def loss_fn(params, key):
+        return loss_terms(params)
+
+    def eval_fn(params, key):
+        u = model.apply_batch(params, x_grid)
+        return jnp.mean((u - u_exact) ** 2)
+
+    result = fit(
+        loss_fn, eval_fn, params,
+        epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+        key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+    )
+    if cfg.LBFGS:
+        polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params, max_iter=20)
+        final_m = float(eval_fn(polished, None))
+        if final_m < result.best_metric:
+            result = result._replace(
+                params=polished, best_params=polished, best_metric=final_m
+            )
+        else:
+            result = result._replace(params=polished)
+
+    return {
+        "config": dataclasses.asdict(cfg),
+        "model": model,
+        "result": result,
+        "history": result.history,
+        "L2_error": float(result.best_metric),
+        "min_epoch": result.best_epoch,
+        "weights": w,
+    }
+
+
+# ------------------------------------------------------------------------ WAN
+@dataclasses.dataclass
+class QHO1DWanConfig:
+    n: int = 0
+    x_max: float = 6.0
+    epochs: int = 3000
+    lr: float = 1e-3
+    layers: Tuple[int, ...] = (1, 200, 200, 200, 1)
+    v_layers: Tuple[int, ...] = (1, 100, 100, 100, 1)
+    technique: str = "BC"             # BC | FBC | OG
+    v_steps: int = 5
+    grid_n: int = 1000
+    data_fraction: float = 0.25
+    data_stride: int = 10
+    seed: int = 0
+    chunk: int = 500
+
+
+def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
+    """WAN with trainable energy: E is a leaf of the primal pytree
+    (QHO_1D_WAN.py:101,131)."""
+    n, x_max = cfg.n, cfg.x_max
+    hard = cfg.technique != "BC"
+    # both u and v nets get the exp window when technique != BC
+    # (QHO_1D_WAN.py:191-196)
+    u_factor = _qho_factor("OG" if hard else "BC", n, x_max)
+    u_model = SolutionModel(NetSpec(tuple(cfg.layers), activation="tanh"), u_factor)
+    v_model = SolutionModel(
+        NetSpec(tuple(cfg.v_layers), activation="tanh"), u_factor
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    u_params = {"net": u_model.init(key), "E": jnp.asarray(phys.energy_1d(n))}
+    v_params = v_model.init(jax.random.fold_in(key, 1))
+
+    x_grid = linspace_grid(cfg.grid_n, -x_max, x_max)
+    x_flat = x_grid[:, 0]
+    u_exact = phys.psi_1d(n, x_flat)
+    idx = mid_fraction_every_kth(cfg.grid_n, cfg.data_fraction, cfg.data_stride)
+    x_data, u_data = x_grid[idx], u_exact[idx]
+    x_bc = jnp.array([[-x_max], [x_max]])
+    lower = _lower_states(n, x_flat)
+    V = phys.potential_1d(x_flat)
+
+    # QHO_1D_WAN.py:181-200
+    w = {
+        "orth": 1000.0 if cfg.technique == "OG" else 0.0,
+        "data": 1000.0,
+        "pde": 10.0,
+        "norm": 10.0,
+        "bc": 0.0 if hard else 1000.0,
+    }
+    volume = 2.0 * x_max
+
+    wv_const, dwv_const = bump_w(x_grid, -x_max, x_max)
+
+    def wan_pde(u_params, v_params):
+        u, gu = u_model.value_and_grad(u_params["net"], x_grid)
+        v, gv = v_model.value_and_grad(v_params, x_grid)
+        phi = wv_const * v
+        gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
+        weak = wan_weak_residual(
+            gu, phi, gphi, u=u, V=V, E=u_params["E"], prefactor=0.5
+        )
+        phi_norm = jnp.mean(phi**2)
+        return wan_pde_loss(weak, phi_norm), u
+
+    def v_loss_fn(v_params, u_params, key):
+        loss_pde, _ = wan_pde(u_params, v_params)
+        return -jnp.log(loss_pde + 1e-8)
+
+    def u_loss_fn(u_params, v_params, key):
+        loss_pde, u = wan_pde(u_params, v_params)
+        norm = norm_integral(u, volume)
+        data = data_mse(u_model.apply_batch(u_params["net"], x_data), u_data)
+        bc = jnp.mean(u_model.apply_batch(u_params["net"], x_bc) ** 2)
+        orth = (
+            orthogonal_projection(u, lower, volume, eps=0.0)
+            if n > 0
+            else jnp.asarray(0.0)
+        )
+        total = (
+            w["pde"] * loss_pde + w["norm"] * norm + w["orth"] * orth
+            + w["data"] * data + w["bc"] * bc
+        )
+        return total, {
+            "pde": loss_pde, "norm": norm, "data": data, "bc": bc,
+            "orth": orth, "E": u_params["E"],
+        }
+
+    def eval_fn(u_params, key):
+        u = u_model.apply_batch(u_params["net"], x_grid)
+        return sign_aware_mse(u, u_exact)
+
+    result = fit_wan(
+        u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,
+        epochs=cfg.epochs, v_steps=cfg.v_steps,
+        u_optimizer=optax.adam(cfg.lr), v_optimizer=optax.adam(cfg.lr),
+        key=jax.random.fold_in(key, 2), chunk=cfg.chunk,
+    )
+    return {
+        "config": dataclasses.asdict(cfg),
+        "model": u_model,
+        "v_model": v_model,
+        "result": result,
+        "history": result.history,
+        "L2_error": float(result.best_metric),
+        "min_epoch": result.best_epoch,
+        "E_est": float(result.best_params["E"]),
+        "E_exact": phys.energy_1d(n),
+        "weights": w,
+    }

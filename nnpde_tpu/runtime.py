@@ -1,0 +1,43 @@
+"""Runtime/platform helpers: compilation cache, backend selection.
+
+The deployment environment compiles TPU programs through a remote service
+(PALLAS_AXON_REMOTE_COMPILE); a full train-step scan costs minutes to
+compile but ~1 ms/epoch to run.  The persistent compilation cache makes that
+a one-time cost across processes, so every entry point calls
+:func:`enable_compilation_cache` first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Idempotently enable the persistent XLA compilation cache."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    path = path or os.environ.get(
+        "NNPDE_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:  # pragma: no cover - cache is an optimisation only
+        pass
+
+
+def force_cpu(n_devices: int = 8) -> None:
+    """Switch this process to a virtual multi-device CPU backend (tests,
+    multi-chip dry runs).  Must be called before any backend use."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,9 @@
+from .samplers import (
+    uniform_box,
+    linspace_grid,
+    meshgrid_2d,
+    face_points,
+    first_fraction_every_kth,
+    mid_fraction_every_kth,
+    first_fraction_indices,
+)

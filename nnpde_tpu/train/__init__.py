@@ -1,0 +1,2 @@
+from .trainer import FitResult, fit, fit_wan, tree_where
+from .lbfgs import lbfgs_polish

@@ -1,0 +1,216 @@
+"""The unified trainer: one jitted, scan-chunked loop for every method.
+
+Replaces the nine copy-pasted epoch loops of the reference
+(``train_poisson_nd`` Poisson_ND.py:150-366, ``train_seperate`` x4,
+``train_pinn_single`` / ``train_pinn_seperate`` x3, ``train_state_v2``
+KH_1D.py:290-456) with two entry points:
+
+* :func:`fit` — gradient-descent methods (PINN / DRM): each epoch is one
+  ``lax.scan`` step doing loss+grads -> optax update -> eval -> device-side
+  best-snapshot.  The reference pays a host sync per epoch
+  (``.item()`` / ``.cpu()``, Poisson_ND.py:273-293) — here an entire chunk of
+  epochs runs inside a single compiled program, history is returned as
+  stacked device arrays, and the running best parameters live on device
+  (params are <= ~120k floats, so carrying a second copy is free).
+
+* :func:`fit_wan` — the WAN minimax: the k-inner-critic-ascent + 1 primal
+  step protocol (IPW_1D_WAN.py:184-208, Poisson_ND.py:242-271,
+  KH_1D.py:344-381) fused into one compiled step via ``lax.fori_loop`` over
+  the critic updates.  Parameter freezing is replaced by the functional
+  discipline of differentiating only w.r.t. the active net's params.
+
+Accuracy note: TPU matmuls default to bf16-ish precision which visibly
+degrades second derivatives; all training/eval math runs under
+``jax.default_matmul_precision('highest')`` (f32 MXU passes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..runtime import enable_compilation_cache
+
+
+class FitResult(NamedTuple):
+    params: Any                      # final params (primal net)
+    best_params: Any                 # device-tracked argmin-eval params
+    best_metric: float
+    best_epoch: int
+    history: Dict[str, np.ndarray]   # per-epoch metric curves (host)
+    v_params: Any = None             # WAN critic final params
+    best_v_params: Any = None        # WAN critic at the best epoch
+
+
+def tree_where(pred, a, b):
+    """Select pytree ``a`` where pred else ``b`` (scalar bool pred)."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _chunks(total: int, chunk: int):
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        yield done, n
+        done += n
+
+
+def _stack_history(parts):
+    out = {}
+    for k in parts[0]:
+        out[k] = np.concatenate([np.asarray(p[k]) for p in parts])
+    return out
+
+
+def fit(
+    loss_fn: Callable,               # (params, key) -> (scalar, metrics dict)
+    eval_fn: Callable,               # (params, key) -> scalar (lower = better)
+    params,
+    *,
+    epochs: int,
+    optimizer: optax.GradientTransformation,
+    key,
+    chunk: int = 1000,
+    progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> FitResult:
+    enable_compilation_cache()
+    opt_state = optimizer.init(params)
+
+    def step(carry, inputs):
+        params, opt_state, best_m, best_p, best_e = carry
+        epoch, k = inputs
+        with jax.default_matmul_precision("highest"):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, k
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            m = eval_fn(params, jax.random.fold_in(k, 0x5EED))
+        improved = m < best_m
+        best_p = tree_where(improved, params, best_p)
+        best_m = jnp.where(improved, m, best_m)
+        best_e = jnp.where(improved, epoch, best_e)
+        metrics = dict(metrics)
+        metrics["total"] = loss
+        metrics["l2"] = m
+        return (params, opt_state, best_m, best_p, best_e), metrics
+
+    scan_chunk = jax.jit(lambda carry, xs: jax.lax.scan(step, carry, xs))
+
+    carry = (
+        params,
+        opt_state,
+        jnp.asarray(jnp.inf, jnp.float32),
+        params,
+        jnp.asarray(-1, jnp.int32),
+    )
+    parts = []
+    for start, n in _chunks(epochs, chunk):
+        ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(start, start + n)
+        )
+        carry, hist = scan_chunk(carry, (jnp.arange(start, start + n), ks))
+        parts.append(hist)
+        if progress is not None:
+            progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
+    params, _, best_m, best_p, best_e = carry
+    return FitResult(
+        params=params,
+        best_params=best_p,
+        best_metric=float(best_m),
+        best_epoch=int(best_e),
+        history=_stack_history(parts),
+    )
+
+
+def fit_wan(
+    u_loss_fn: Callable,             # (u_params, v_params, key) -> (scalar, metrics)
+    v_loss_fn: Callable,             # (v_params, u_params, key) -> scalar (minimised for v)
+    eval_fn: Callable,               # (u_params, key) -> scalar
+    u_params,
+    v_params,
+    *,
+    epochs: int,
+    v_steps: int,
+    u_optimizer: optax.GradientTransformation,
+    v_optimizer: optax.GradientTransformation,
+    key,
+    chunk: int = 500,
+    progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> FitResult:
+    """Fused adversarial training step: v_steps critic updates then one
+    primal update, all inside one compiled scan step."""
+    enable_compilation_cache()
+    u_opt_state = u_optimizer.init(u_params)
+    v_opt_state = v_optimizer.init(v_params)
+
+    def step(carry, inputs):
+        u_params, v_params, u_opt, v_opt, best_m, best_up, best_vp, best_e = carry
+        epoch, k = inputs
+        with jax.default_matmul_precision("highest"):
+            # ---- critic ascent (freezing replaced by grad-wrt-v only)
+            def v_body(i, val):
+                v_params, v_opt, _ = val
+                vk = jax.random.fold_in(k, i)
+                v_loss, gv = jax.value_and_grad(v_loss_fn)(v_params, u_params, vk)
+                updates, v_opt = v_optimizer.update(gv, v_opt, v_params)
+                v_params = optax.apply_updates(v_params, updates)
+                return (v_params, v_opt, v_loss)
+
+            v_params, v_opt, last_v_loss = jax.lax.fori_loop(
+                0, v_steps, v_body, (v_params, v_opt, jnp.asarray(0.0))
+            )
+
+            # ---- primal descent
+            uk = jax.random.fold_in(k, 0x0A11CE)
+            (loss, metrics), gu = jax.value_and_grad(u_loss_fn, has_aux=True)(
+                u_params, v_params, uk
+            )
+            updates, u_opt = u_optimizer.update(gu, u_opt, u_params)
+            u_params = optax.apply_updates(u_params, updates)
+
+            m = eval_fn(u_params, jax.random.fold_in(k, 0x5EED))
+        improved = m < best_m
+        best_up = tree_where(improved, u_params, best_up)
+        best_vp = tree_where(improved, v_params, best_vp)
+        best_m = jnp.where(improved, m, best_m)
+        best_e = jnp.where(improved, epoch, best_e)
+        metrics = dict(metrics)
+        metrics["total"] = loss
+        metrics["l2"] = m
+        metrics["wan_loss_v"] = last_v_loss
+        return (
+            u_params, v_params, u_opt, v_opt, best_m, best_up, best_vp, best_e,
+        ), metrics
+
+    scan_chunk = jax.jit(lambda carry, xs: jax.lax.scan(step, carry, xs))
+
+    carry = (
+        u_params, v_params, u_opt_state, v_opt_state,
+        jnp.asarray(jnp.inf, jnp.float32), u_params, v_params,
+        jnp.asarray(-1, jnp.int32),
+    )
+    parts = []
+    for start, n in _chunks(epochs, chunk):
+        ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(start, start + n)
+        )
+        carry, hist = scan_chunk(carry, (jnp.arange(start, start + n), ks))
+        parts.append(hist)
+        if progress is not None:
+            progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
+    u_params, v_params, _, _, best_m, best_up, best_vp, best_e = carry
+    return FitResult(
+        params=u_params,
+        best_params=best_up,
+        best_metric=float(best_m),
+        best_epoch=int(best_e),
+        history=_stack_history(parts),
+        v_params=v_params,
+        best_v_params=best_vp,
+    )

@@ -1,0 +1,69 @@
+"""End-to-end Poisson training: short runs must reduce the L2 error well
+below the trivial-solution level (integration thresholds per SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from nnpde_tpu.problems import PoissonConfig, train_poisson_nd
+
+
+def small_cfg(**kw):
+    base = dict(
+        dim=1, L=2.0, method="PINN", bc_mode="FBC",
+        n_interior=512, n_eval=1024, epochs=300, width=32, depth=4,
+        chunk=150, lr=2e-3,
+    )
+    base.update(kw)
+    return PoissonConfig(**base)
+
+
+def test_pinn_1d_converges():
+    out = train_poisson_nd(small_cfg())
+    # ||u*|| ~ 0.7 on [0,2]; untrained model RMSE ~ 0.7
+    assert out["best_l2"] < 0.08, out["best_l2"]
+    assert out["history"]["l2"].shape == (300,)
+    assert out["history"]["pde"][-1] < out["history"]["pde"][0]
+
+
+def test_drm_2d_converges():
+    out = train_poisson_nd(
+        small_cfg(dim=2, method="DRM", epochs=500, n_interior=2048, chunk=250)
+    )
+    assert out["best_l2"] < 0.25, out["best_l2"]
+
+
+def test_pinn_rb_soft_bc():
+    # soft-penalty BCs converge slower than the hard trial (bc weight 1e4
+    # dominates early); 2000 epochs reaches ~2e-2 best RMSE
+    out = train_poisson_nd(small_cfg(bc_mode="RB", epochs=2000, chunk=500))
+    assert out["best_l2"] < 0.1, out["best_l2"]
+    assert np.all(np.isfinite(out["history"]["bc"]))
+
+
+def test_wan_1d_runs_and_improves():
+    out = train_poisson_nd(
+        small_cfg(
+            method="WAN", epochs=150, n_interior=512, critic_steps=2,
+            critic_width=32, chunk=75,
+        )
+    )
+    h = out["history"]
+    assert set(["wan_loss_v", "wan_weak", "wan_phi_norm"]).issubset(h)
+    assert np.all(np.isfinite(h["l2"]))
+    assert out["best_l2"] < h["l2"][0]
+
+
+def test_best_tracking_semantics():
+    out = train_poisson_nd(small_cfg(epochs=100, chunk=50))
+    h = out["history"]["l2"]
+    assert out["best_epoch"] == int(np.argmin(h))
+    assert abs(out["best_l2"] - float(np.min(h))) < 1e-7
+
+
+def test_default_weights_match_reference():
+    cfg = small_cfg(bc_mode="RB", n_data=10)
+    w = cfg.resolved_weights()
+    assert w == {"pde": 1.0, "bc": 1e4, "data": 1e3, "norm": 0.0}
+    cfg = small_cfg()
+    assert cfg.resolved_weights()["bc"] == 0.0
