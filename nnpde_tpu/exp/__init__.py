@@ -1,0 +1,2 @@
+from .ledger import append_result, load_results, save_curves
+from .checkpoint import save_params, load_params

@@ -1,0 +1,8 @@
+from .mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    psum_mean_step,
+)

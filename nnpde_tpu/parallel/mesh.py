@@ -1,0 +1,87 @@
+"""Device-mesh data parallelism over the collocation batch.
+
+The reference is single-device (``torch.device('cuda'|'cpu')`` everywhere,
+Poisson_ND.py:164; no torch.distributed anywhere — SURVEY.md §2/§5).  The
+TPU-native scaling strategy for this workload is pure data parallelism over
+collocation points: models are <= ~120k params (replicated over ICI), and
+every loss in :mod:`nnpde_tpu.losses` is a ``jnp.mean`` over the batch, so
+
+* under ``jit`` with a batch-sharded input, GSPMD lowers each mean to a
+  partial reduction + ``psum`` over the mesh — **bit-equivalent math** to the
+  unsharded run (the minimax/weak-form means included);
+* gradients of those means are automatically ``psum``-reduced as well; no
+  hand-written NCCL/MPI-style code exists or is needed.
+
+:func:`psum_mean_step` additionally provides the explicit ``shard_map``
+formulation (per-shard local means + ``lax.pmean``) used by the multi-chip
+dry-run and the distributed tests to pin down the collective semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1D mesh over (the first n) local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Place a batch array with its leading dim sharded over the mesh.
+
+    Pads nothing: callers should keep batch sizes divisible by the mesh size
+    (collocation batches are free to round).
+    """
+    return jax.device_put(x, data_sharding(mesh, axis))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a parameter pytree over every device of the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def psum_mean_step(loss_fn, mesh: Mesh, axis: str = "data"):
+    """Explicit-collective data-parallel value+grad via ``shard_map``.
+
+    ``loss_fn(params, X) -> scalar`` must reduce over the batch with plain
+    means.  Returns ``step(params, X) -> (loss, grads)`` where each shard
+    computes local (loss, grads) and the results are ``lax.pmean``-ed over
+    the mesh — numerically identical to the global mean because every shard
+    holds batch/n points.
+    """
+    def local(params, X):
+        # The pmean must sit INSIDE the differentiated objective: shard_map's
+        # transpose rule already psums the cotangent of a replicated (P())
+        # input, so reducing the gradient again would overcount by the mesh
+        # size.  Differentiating through pmean(local_mean) yields exactly the
+        # gradient of the global mean, replicated on every shard.
+        def objective(p):
+            return jax.lax.pmean(loss_fn(p, X), axis)
+
+        return jax.value_and_grad(objective)(params)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+    )

@@ -34,10 +34,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
 def force_cpu(n_devices: int = 8) -> None:
     """Switch this process to a virtual multi-device CPU backend (tests,
-    multi-chip dry runs).  Must be called before any backend use."""
+    multi-chip dry runs).  Safe to call even after another backend was
+    initialised (clears live backends so the CPU client re-reads XLA_FLAGS)."""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n_devices}"
         ).strip()
     jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < n_devices:
+        try:
+            jax.clear_backends()
+        except Exception:  # pragma: no cover
+            from jax.extend import backend as _backend
+
+            _backend.clear_backends()
