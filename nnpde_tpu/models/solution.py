@@ -50,9 +50,20 @@ class SolutionModel:
         return u
 
     # ----------------------------------------------------------------- jets
-    def fields(self, params, X) -> Jet:
-        """Fused (u, grad u, lap u) over the collocation batch (hot path)."""
-        jet = mlp_fwdlap(params, X, self.spec.activation)
+    def fields(self, params, X, impl: str = "xla") -> Jet:
+        """Fused (u, grad u, lap u) over the collocation batch (hot path).
+
+        ``impl``: 'xla' (default — stream propagation fused by XLA) or
+        'pallas' (the VMEM-resident kernel with recompute backward,
+        :mod:`nnpde_tpu.kernels`; numerically equivalent, interpreter mode
+        off-TPU).
+        """
+        if impl == "pallas":
+            from ..kernels import mlp_fwdlap_pallas
+
+            jet = mlp_fwdlap_pallas(params, X, self.spec.activation)
+        else:
+            jet = mlp_fwdlap(params, X, self.spec.activation)
         if self.factor is not None:
             jet = compose_product_jet(jet, self.factor.jet(X))
         return jet

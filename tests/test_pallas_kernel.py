@@ -1,0 +1,75 @@
+"""Pallas fused forward-Laplacian kernel vs the XLA oracle (interpret mode
+on the CPU CI backend; the same assertions run compiled on a real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpde_tpu.kernels import mlp_fwdlap_pallas
+from nnpde_tpu.models import NetSpec, SolutionModel, factor_for_technique, init_mlp
+from nnpde_tpu.ops.fwdlap import mlp_fwdlap
+
+
+@pytest.mark.parametrize("activation", ["sin", "tanh"])
+@pytest.mark.parametrize("d", [1, 2, 5])
+def test_kernel_matches_xla_forward(activation, d):
+    params = init_mlp(
+        jax.random.PRNGKey(0), NetSpec((d, 32, 32, 32, 1), activation)
+    )
+    X = jax.random.uniform(jax.random.PRNGKey(1), (100, d), minval=-1.0, maxval=1.0)
+    ref = mlp_fwdlap(params, X, activation)
+    ker = mlp_fwdlap_pallas(params, X, activation, tile=64, bwd_tile=64)
+    np.testing.assert_allclose(np.asarray(ker.value), np.asarray(ref.value), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.grad), np.asarray(ref.grad), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ker.lap), np.asarray(ref.lap), atol=1e-3)
+
+
+@pytest.mark.parametrize("activation", ["sin", "tanh"])
+def test_kernel_custom_vjp_matches_autodiff(activation):
+    d = 2
+    params = init_mlp(
+        jax.random.PRNGKey(2), NetSpec((d, 24, 24, 1), activation)
+    )
+    X = jax.random.uniform(jax.random.PRNGKey(3), (96, d), minval=-1.0, maxval=1.0)
+
+    def loss_ref(p):
+        jet = mlp_fwdlap(p, X, activation)
+        return jnp.mean(jet.lap**2) + jnp.mean(jet.value * jet.grad.sum(-1))
+
+    def loss_ker(p):
+        jet = mlp_fwdlap_pallas(p, X, activation, tile=32, bwd_tile=32)
+        return jnp.mean(jet.lap**2) + jnp.mean(jet.value * jet.grad.sum(-1))
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_ker = jax.grad(loss_ker)(params)
+    for (W1, b1), (W2, b2) in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1), rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-3, atol=1e-4)
+
+
+def test_kernel_handles_ragged_batch():
+    """N not divisible by the tile: padded internally, exact result sizes."""
+    d = 2
+    params = init_mlp(jax.random.PRNGKey(4), NetSpec((d, 16, 16, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(5), (77, d))
+    jet = mlp_fwdlap_pallas(params, X, "sin", tile=32, bwd_tile=32)
+    assert jet.value.shape == (77,)
+    assert jet.grad.shape == (77, d)
+    ref = mlp_fwdlap(params, X, "sin")
+    np.testing.assert_allclose(np.asarray(jet.lap), np.asarray(ref.lap), atol=1e-3)
+
+
+def test_solution_model_pallas_impl_with_factor():
+    """fields(impl='pallas') composes the kernel jet with trial factors."""
+    d = 2
+    model = SolutionModel(
+        NetSpec((d, 16, 16, 1), "sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=2.0),
+    )
+    params = model.init(jax.random.PRNGKey(6))
+    X = jax.random.uniform(jax.random.PRNGKey(7), (64, d), maxval=2.0)
+    a = model.fields(params, X, impl="pallas")
+    b = model.fields(params, X, impl="xla")
+    np.testing.assert_allclose(np.asarray(a.lap), np.asarray(b.lap), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.value), np.asarray(b.value), atol=1e-5)
