@@ -1,0 +1,240 @@
+"""Command-line front-end for every problem family.
+
+The reference has **no** CLI — configuration is editing ``__main__`` blocks
+(Poisson_Equations/README.md:16-25, SURVEY.md §5 "config").  This module
+exposes the union of the trainer kwargs as argparse subcommands:
+
+    python -m nnpde_tpu.exp.cli poisson --dim 2 --method PINN --epochs 10000
+    python -m nnpde_tpu.exp.cli ipw1d   --n 3 --method DRM --technique FN
+    python -m nnpde_tpu.exp.cli ipw1d-wan --n 2 --technique FBC
+    python -m nnpde_tpu.exp.cli ipw2d   --nx 3 --ny 3 --method DRM
+    python -m nnpde_tpu.exp.cli qho1d   --n 2 --method PINN --technique FN
+    python -m nnpde_tpu.exp.cli qho1d-wan --n 1 --technique OG
+    python -m nnpde_tpu.exp.cli qho2d   --nx 1 --ny 1 --method WAN
+    python -m nnpde_tpu.exp.cli kh      --alpha 10 --n-max 4 --methods PINN DRM WAN
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _int_list(s):
+    return [int(x) for x in s.split(",")]
+
+
+def _add_common(p, *, epochs, lr=1e-3):
+    p.add_argument("--epochs", type=int, default=epochs)
+    p.add_argument("--lr", type=float, default=lr)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="epochs per compiled scan chunk")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="nnpde", description="TPU-native PINN/DRM/WAN PDE solver suite"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("poisson", help="N-D Poisson on [0,L]^d")
+    p.add_argument("--dim", type=int, default=2)
+    p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--ks", type=_int_list, default=None)
+    p.add_argument("--method", choices=["PINN", "DRM", "WAN"], default="PINN")
+    p.add_argument("--bc-mode", choices=["FBC", "RB"], default="FBC")
+    p.add_argument("--n-interior", type=int, default=20000)
+    p.add_argument("--n-boundary", type=int, default=4000)
+    p.add_argument("--n-data", type=int, default=0)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--depth", type=int, default=5)
+    p.add_argument("--critic-steps", type=int, default=5)
+    _add_common(p, epochs=10000)
+
+    p = sub.add_parser("ipw1d", help="1D infinite well eigenstates (PINN/DRM)")
+    p.add_argument("--n", type=int, default=1)
+    p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--method", choices=["PINN", "DRM"], default="DRM")
+    p.add_argument("--technique", choices=["BC", "FBC", "FN", "OG"], default="FN")
+    p.add_argument("--layers", type=_int_list, default=[1, 50, 50, 50, 1])
+    p.add_argument("--lbfgs", action="store_true")
+    _add_common(p, epochs=3000)
+
+    p = sub.add_parser("ipw1d-wan", help="1D infinite well via WAN")
+    p.add_argument("--n", type=int, default=1)
+    p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--technique", choices=["BC", "FBC", "OG", "FN"], default="FBC")
+    p.add_argument("--layers", type=_int_list, default=[1, 50, 50, 50, 1])
+    p.add_argument("--v-layers", type=_int_list, default=[1, 20, 20, 20, 1])
+    p.add_argument("--v-steps", type=int, default=5)
+    _add_common(p, epochs=3000)
+
+    p = sub.add_parser("ipw2d", help="2D infinite well (PINN/DRM)")
+    p.add_argument("--nx", type=int, default=1)
+    p.add_argument("--ny", type=int, default=1)
+    p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--method", choices=["PINN", "DRM"], default="PINN")
+    p.add_argument("--technique", choices=["FBC", "FN", "OG"], default="FBC")
+    p.add_argument("--grid-n", type=int, default=200)
+    p.add_argument("--lbfgs", action="store_true")
+    p.add_argument("--weights", type=json.loads, default=None,
+                   help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
+    _add_common(p, epochs=10000)
+
+    p = sub.add_parser("qho1d", help="1D harmonic oscillator (PINN/DRM)")
+    p.add_argument("--n", type=int, default=0)
+    p.add_argument("--x-max", type=float, default=6.0)
+    p.add_argument("--method", choices=["PINN", "DRM"], default="DRM")
+    p.add_argument("--technique", choices=["BC", "OG", "FN"], default="FN")
+    p.add_argument("--layers", type=_int_list, default=[1, 200, 200, 200, 1])
+    p.add_argument("--lbfgs", action="store_true")
+    _add_common(p, epochs=3000)
+
+    p = sub.add_parser("qho1d-wan", help="1D QHO via WAN (trainable energy)")
+    p.add_argument("--n", type=int, default=0)
+    p.add_argument("--x-max", type=float, default=6.0)
+    p.add_argument("--technique", choices=["BC", "FBC", "OG"], default="BC")
+    p.add_argument("--layers", type=_int_list, default=[1, 200, 200, 200, 1])
+    p.add_argument("--v-layers", type=_int_list, default=[1, 100, 100, 100, 1])
+    p.add_argument("--v-steps", type=int, default=5)
+    _add_common(p, epochs=3000)
+
+    p = sub.add_parser("qho2d", help="2D harmonic oscillator (PINN/DRM/WAN)")
+    p.add_argument("--nx", type=int, default=0)
+    p.add_argument("--ny", type=int, default=0)
+    p.add_argument("--L", type=float, default=6.0)
+    p.add_argument("--method", choices=["PINN", "DRM", "WAN"], default="PINN")
+    p.add_argument("--technique", choices=["FBC", "FN", "OG"], default="FBC")
+    p.add_argument("--grid-n", type=int, default=200)
+    p.add_argument("--trainable-energy", action="store_true")
+    p.add_argument("--energy-variant", action="store_true",
+                   help="use the QHO_2D_Energy paper weight table")
+    p.add_argument("--lbfgs", action="store_true")
+    _add_common(p, epochs=10000)
+
+    p = sub.add_parser("kh", help="Kramers-Henneberger unified compare")
+    p.add_argument("--alpha", type=float, default=10.0)
+    p.add_argument("--L", type=float, default=60.0)
+    p.add_argument("--n-ref", type=int, default=5000)
+    p.add_argument("--n-max", type=int, default=4)
+    p.add_argument("--train-n", type=int, default=1024)
+    p.add_argument("--methods", nargs="+", default=["PINN", "DRM", "WAN"])
+    p.add_argument("--technique", choices=["RAW", "FBC"], default="FBC")
+    p.add_argument("--data-fraction", type=float, default=0.5)
+    p.add_argument("--max-data-points", type=int, default=500)
+    p.add_argument("--v-steps", type=int, default=3)
+    _add_common(p, epochs=10000)
+    return ap
+
+
+def main(argv=None) -> int:
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+    kw = dict(epochs=args.epochs, lr=args.lr, seed=args.seed)
+    if args.chunk:
+        kw["chunk"] = args.chunk
+
+    if args.cmd == "poisson":
+        from ..problems.poisson import PoissonConfig
+        from .run import run_poisson_nd
+
+        cfg = PoissonConfig(
+            dim=args.dim, L=args.L, ks=args.ks, method=args.method,
+            bc_mode=args.bc_mode, n_interior=args.n_interior,
+            n_boundary=args.n_boundary, n_data=args.n_data,
+            width=args.width, depth=args.depth, critic_steps=args.critic_steps,
+            **kw,
+        )
+        out = run_poisson_nd(cfg, **_sd(args, "results/ND_Poisson"))
+    elif args.cmd == "ipw1d":
+        from ..problems.ipw import IPW1DConfig
+        from .run import run_ipw_1d
+
+        cfg = IPW1DConfig(n=args.n, L=args.L, method=args.method,
+                          technique=args.technique, layers=tuple(args.layers),
+                          LBFGS=args.lbfgs, **kw)
+        out = run_ipw_1d(cfg, **_sd(args, "results/Infinite_Potential_Well_1D"))
+    elif args.cmd == "ipw1d-wan":
+        from ..problems.ipw import IPW1DWanConfig
+        from .run import run_ipw_1d_wan
+
+        cfg = IPW1DWanConfig(n=args.n, L=args.L, technique=args.technique,
+                             layers=tuple(args.layers),
+                             v_layers=tuple(args.v_layers),
+                             v_steps=args.v_steps, **kw)
+        out = run_ipw_1d_wan(cfg, **_sd(args, "results/Infinite_Potential_Well_1D"))
+    elif args.cmd == "ipw2d":
+        from ..problems.ipw2d import IPW2DConfig
+        from .run import run_ipw_2d
+
+        cfg = IPW2DConfig(nx=args.nx, ny=args.ny, L=args.L, method=args.method,
+                          technique=args.technique, grid_n=args.grid_n,
+                          LBFGS=args.lbfgs, weights=args.weights, **kw)
+        out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
+    elif args.cmd == "qho1d":
+        from ..problems.qho import QHO1DConfig
+        from .run import run_qho_1d
+
+        cfg = QHO1DConfig(n=args.n, x_max=args.x_max, method=args.method,
+                          technique=args.technique, layers=tuple(args.layers),
+                          LBFGS=args.lbfgs, **kw)
+        out = run_qho_1d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_1D"))
+    elif args.cmd == "qho1d-wan":
+        from ..problems.qho import QHO1DWanConfig
+        from .run import run_qho_1d_wan
+
+        cfg = QHO1DWanConfig(n=args.n, x_max=args.x_max,
+                             technique=args.technique,
+                             layers=tuple(args.layers),
+                             v_layers=tuple(args.v_layers),
+                             v_steps=args.v_steps, **kw)
+        out = run_qho_1d_wan(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_1D"))
+    elif args.cmd == "qho2d":
+        from ..problems.qho2d import QHO2DConfig
+        from .run import run_qho_2d
+
+        cfg = QHO2DConfig(nx=args.nx, ny=args.ny, L=args.L, method=args.method,
+                          technique=args.technique, grid_n=args.grid_n,
+                          trainable_energy=args.trainable_energy,
+                          energy_variant=args.energy_variant,
+                          LBFGS=args.lbfgs, **kw)
+        out = run_qho_2d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_2D"))
+    elif args.cmd == "kh":
+        from ..problems.kh import KHCompareConfig, run_compare
+
+        kw.pop("seed", None)
+        cfg = KHCompareConfig(
+            alpha=args.alpha, L=args.L, n_ref=args.n_ref, n_max=args.n_max,
+            train_n=args.train_n, methods=tuple(args.methods),
+            technique=args.technique, data_fraction=args.data_fraction,
+            max_data_points=args.max_data_points, v_steps=args.v_steps,
+            save_dir=args.save_dir or "results/KH_1D_Unified",
+            epochs=args.epochs, lr=args.lr, seed=args.seed,
+            **({"chunk": args.chunk} if args.chunk else {}),
+        )
+        rows = run_compare(cfg)
+        for r in rows:
+            print(json.dumps({k: r[k] for k in
+                              ("method", "n", "E_ref", "E_est",
+                               "L2_error_dense", "elapsed_time_sec")}))
+        return 0
+    else:  # pragma: no cover
+        raise SystemExit(2)
+
+    row = out["row"]
+    print(json.dumps({k: row.get(k) for k in
+                      ("tag", "L2_error", "min_epoch", "best_model_path")}))
+    return 0
+
+
+def _sd(args, default):
+    return {"save_dir": args.save_dir} if args.save_dir else {"save_dir": default}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,233 @@
+"""Run wrappers: train a problem preset and persist the reference's artifact
+contract (best checkpoint + loss/L2 npy curves + a row in the per-family
+JSON results ledger).
+
+Row schemas mirror the reference scripts so the post-processing tools work
+on either framework's outputs (results fields of IPW_1D_PINN_DRM.py:216-237,
+Poisson_ND.py:334-363, QHO_2D.py:502-523).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..problems.ipw import IPW1DConfig, IPW1DWanConfig, train_ipw_1d, train_ipw_1d_wan
+from ..problems.ipw2d import IPW2DConfig, train_ipw_2d
+from ..problems.poisson import PoissonConfig, train_poisson_nd
+from ..problems.qho import QHO1DConfig, QHO1DWanConfig, train_qho_1d, train_qho_1d_wan
+from ..problems.qho2d import QHO2DConfig, train_qho_2d
+from .checkpoint import save_params
+from .ledger import append_result, save_curves
+
+
+def _stamp() -> str:
+    return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
+             meta: Dict, extra_row: Optional[Dict] = None) -> Dict:
+    os.makedirs(save_dir, exist_ok=True)
+    result = out["result"]
+    hist = out["history"]
+    ckpt = save_params(
+        os.path.join(save_dir, f"{tag}_best"), result.best_params, meta=meta
+    )
+    curves = save_curves(
+        save_dir, tag, {"losses": hist["total"], "L2_errors": hist["l2"]}
+    )
+    row = {
+        "tag": tag,
+        "L2_error": float(np.min(hist["l2"])),
+        "min_epoch": int(np.argmin(hist["l2"])),
+        "best_model_path": ckpt,
+        "losses": curves["losses"],
+        "L2_errors": curves["L2_errors"],
+        "timestamp": meta.get("timestamp"),
+    }
+    if extra_row:
+        row.update(extra_row)
+    append_result(os.path.join(save_dir, results_file), row)
+    out["row"] = row
+    out["checkpoint"] = ckpt
+    return out
+
+
+# ------------------------------------------------------------------- Poisson
+def run_poisson_nd(cfg: PoissonConfig, save_dir: str = "results/ND_Poisson") -> Dict:
+    t0 = time.time()
+    out = train_poisson_nd(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    ks = cfg.resolved_ks()
+    tag = f"{cfg.method}_{cfg.bc_mode}_d{cfg.dim}_ks{'-'.join(map(str, ks))}_{ts}"
+    meta = {
+        "problem": "poisson_nd", "timestamp": ts,
+        "layers": [cfg.dim] + [cfg.width] * (cfg.depth - 1) + [1],
+        "activation": "sin", "bc_mode": cfg.bc_mode, "L": cfg.L,
+        "ks": list(ks),
+    }
+    extra = {
+        "method": cfg.method, "bc_mode": cfg.bc_mode, "dim": cfg.dim,
+        "L": cfg.L, "ks": list(ks), "width": cfg.width, "depth": cfg.depth,
+        "n_interior": cfg.n_interior, "n_boundary": cfg.n_boundary,
+        "n_data": cfg.n_data, "epochs": cfg.epochs, "lr": cfg.lr,
+        "final_l2": out["final_l2"], "best_l2": out["best_l2"],
+        "time": elapsed,
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_poisson_nd.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+# --------------------------------------------------------------------- IPW 1D
+def run_ipw_1d(cfg: IPW1DConfig,
+               save_dir: str = "results/Infinite_Potential_Well_1D") -> Dict:
+    t0 = time.time()
+    out = train_ipw_1d(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"{cfg.method}_n{cfg.n}_{cfg.technique}_{ts}"
+    meta = {
+        "problem": "ipw_1d", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "tanh", "technique": cfg.technique, "n": cfg.n,
+        "L": cfg.L,
+    }
+    w = out["weights"]
+    extra = {
+        "method": cfg.method, "n": cfg.n, "epochs": cfg.epochs,
+        "LBFGS": cfg.LBFGS, "technique": cfg.technique,
+        "time": elapsed,
+        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
+        "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
+        "layers": list(cfg.layers),
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+def run_ipw_1d_wan(cfg: IPW1DWanConfig,
+                   save_dir: str = "results/Infinite_Potential_Well_1D") -> Dict:
+    t0 = time.time()
+    out = train_ipw_1d_wan(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"WAN_n{cfg.n}_{cfg.technique}_{ts}"
+    meta = {
+        "problem": "ipw_1d_wan", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "tanh", "technique": cfg.technique, "n": cfg.n,
+        "L": cfg.L,
+    }
+    w = out["weights"]
+    extra = {
+        "method": "WAN", "n": cfg.n, "epochs": cfg.epochs,
+        "technique": cfg.technique, "time": elapsed,
+        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "weight_pde": w["pde"], "weight_data": w["data"], "weight_norm": w["norm"],
+        "weight_bc": w["bc"], "weight_orth": w["orth"],
+        "layers": list(cfg.layers), "v_layers": list(cfg.v_layers),
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+# --------------------------------------------------------------------- QHO 1D
+def run_qho_1d(cfg: QHO1DConfig,
+               save_dir: str = "results/Quantum_Harmonic_Oscillator_1D") -> Dict:
+    t0 = time.time()
+    out = train_qho_1d(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"{cfg.method}_n{cfg.n}_{cfg.technique}_{ts}"
+    meta = {
+        "problem": "qho_1d", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "sin", "technique": cfg.technique, "n": cfg.n,
+        "x_max": cfg.x_max,
+    }
+    w = out["weights"]
+    extra = {
+        "method": cfg.method, "n": cfg.n, "epochs": cfg.epochs,
+        "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
+        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
+        "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_QHO_1D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+def run_qho_1d_wan(cfg: QHO1DWanConfig,
+                   save_dir: str = "results/Quantum_Harmonic_Oscillator_1D") -> Dict:
+    t0 = time.time()
+    out = train_qho_1d_wan(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"WAN_n{cfg.n}_{cfg.technique}_{ts}"
+    meta = {
+        "problem": "qho_1d_wan", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "tanh", "technique": cfg.technique, "n": cfg.n,
+        "x_max": cfg.x_max,
+    }
+    extra = {
+        "method": "WAN", "n": cfg.n, "epochs": cfg.epochs,
+        "technique": cfg.technique, "time": elapsed,
+        "E_est": out["E_est"], "E_exact": out["E_exact"],
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_QHO_1D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+# --------------------------------------------------------------------- 2D IPW
+def run_ipw_2d(cfg: IPW2DConfig,
+               save_dir: str = "results/Infinite_Potential_Well_2D") -> Dict:
+    t0 = time.time()
+    out = train_ipw_2d(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"{cfg.method}_{cfg.technique}_n{cfg.nx}_{cfg.ny}_{ts}"
+    meta = {
+        "problem": "ipw_2d", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "sin", "technique": cfg.technique,
+        "nx": cfg.nx, "ny": cfg.ny, "L": cfg.L,
+    }
+    w = out["weights"]
+    extra = {
+        "method": cfg.method, "n": [cfg.nx, cfg.ny], "epochs": cfg.epochs,
+        "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
+        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
+        "weight_bc": w["bc"], "weight_orth": w["orth"],
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_IPW_2D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
+# --------------------------------------------------------------------- 2D QHO
+def run_qho_2d(cfg: QHO2DConfig,
+               save_dir: str = "results/Quantum_Harmonic_Oscillator_2D") -> Dict:
+    t0 = time.time()
+    out = train_qho_2d(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"{cfg.method}_{cfg.technique}_n{cfg.nx}_{cfg.ny}_{ts}"
+    meta = {
+        "problem": "qho_2d", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "sin", "technique": cfg.technique,
+        "nx": cfg.nx, "ny": cfg.ny, "L": cfg.L,
+    }
+    w = out["weights"]
+    extra = {
+        "method": cfg.method, "n": [cfg.nx, cfg.ny], "epochs": cfg.epochs,
+        "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
+        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
+        "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
+        "learned_energy": out["learned_energy"],
+    }
+    return _persist(out, save_dir=save_dir, results_file="results_QHO_2D.json",
+                    tag=tag, meta=meta, extra_row=extra)

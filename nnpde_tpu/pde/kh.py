@@ -90,16 +90,24 @@ def reference_eigensystem(
     diag = 1.0 / dx**2 + v_int
     offd = np.full(N - 3, -0.5 / dx**2, dtype=np.float64)
 
-    try:
-        from scipy.linalg import eigh_tridiagonal
+    evals = evecs = None
+    # native C++ bisection + inverse iteration (O(N) memory) when available
+    from .. import native
 
-        evals, evecs = eigh_tridiagonal(
-            diag, offd, select="i", select_range=(0, k_max - 1)
-        )
-    except ImportError:  # pragma: no cover - scipy is present in CI
-        H = np.diag(diag) + np.diag(offd, 1) + np.diag(offd, -1)
-        evals_all, evecs_all = np.linalg.eigh(H)
-        evals, evecs = evals_all[:k_max], evecs_all[:, :k_max]
+    out = native.tridiag_eigh(diag, offd, k_max)
+    if out is not None:
+        evals, evecs = out
+    if evals is None:
+        try:
+            from scipy.linalg import eigh_tridiagonal
+
+            evals, evecs = eigh_tridiagonal(
+                diag, offd, select="i", select_range=(0, k_max - 1)
+            )
+        except ImportError:  # pragma: no cover - scipy is present in CI
+            H = np.diag(diag) + np.diag(offd, 1) + np.diag(offd, -1)
+            evals_all, evecs_all = np.linalg.eigh(H)
+            evals, evecs = evals_all[:k_max], evecs_all[:, :k_max]
 
     psi = np.zeros((N, k_max), dtype=np.float64)
     psi[1:-1, :] = evecs
