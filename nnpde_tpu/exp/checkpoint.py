@@ -31,6 +31,30 @@ def save_params(path: str, params: Any, meta: dict | None = None) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def save_train_state(path: str, carry: Any) -> str:
+    """Serialise a full trainer carry (params + optimizer state + best
+    tracking) for resumable training — flax msgpack, structure restored
+    against a template carry on load."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(carry))
+    return path
+
+
+def load_train_state(path: str, template: Any) -> Any:
+    """Restore a trainer carry saved by :func:`save_train_state`.
+
+    ``template``: a freshly-constructed carry with the same structure (e.g.
+    ``fit(..., epochs=0).carry`` or the carry of a 1-epoch warm run).
+    """
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def load_params(path: str) -> Tuple[Any, dict]:
     """Load a parameter pytree and its metadata."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):

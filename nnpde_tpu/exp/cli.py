@@ -72,13 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--v-steps", type=int, default=5)
     _add_common(p, epochs=3000)
 
-    p = sub.add_parser("ipw2d", help="2D infinite well (PINN/DRM)")
+    p = sub.add_parser("ipw2d", help="2D infinite well (PINN/DRM/WAN)")
     p.add_argument("--nx", type=int, default=1)
     p.add_argument("--ny", type=int, default=1)
     p.add_argument("--L", type=float, default=2.0)
-    p.add_argument("--method", choices=["PINN", "DRM"], default="PINN")
+    p.add_argument("--method", choices=["PINN", "DRM", "WAN"], default="PINN")
     p.add_argument("--technique", choices=["FBC", "FN", "OG"], default="FBC")
     p.add_argument("--grid-n", type=int, default=200)
+    p.add_argument("--v-layers", type=_int_list, default=[2, 20, 20, 20, 1])
+    p.add_argument("--v-steps", type=int, default=5)
     p.add_argument("--lbfgs", action="store_true")
     p.add_argument("--weights", type=json.loads, default=None,
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
@@ -174,6 +176,7 @@ def main(argv=None) -> int:
 
         cfg = IPW2DConfig(nx=args.nx, ny=args.ny, L=args.L, method=args.method,
                           technique=args.technique, grid_n=args.grid_n,
+                          v_layers=tuple(args.v_layers), v_steps=args.v_steps,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
     elif args.cmd == "qho1d":

@@ -1,4 +1,4 @@
-"""2D infinite potential well preset (PINN / DRM, techniques FBC/FN/OG).
+"""2D infinite potential well preset (PINN / DRM / WAN, techniques FBC/FN/OG).
 
 Reproduces ``train_pinn_seperate``
 (``/root/reference/Schrodinger_Equations/Infinite_Potential_Well/IPW_2D.py:127-382``):
@@ -7,9 +7,13 @@ data (IPW_2D.py:144-152), unweighted symmetry (nx == ny) and parity
 (x -> L - x with sign (-1)^(n+1)) losses (IPW_2D.py:234-245), degeneracy-
 aware orthogonality for DRM (i^2+j^2 < nx^2+ny^2, IPW_2D.py:112-124), OG
 boundary penalty on 200-point edges (IPW_2D.py:154-163,249-256).
-The reference has no WAN branch here (README claims notwithstanding —
-SURVEY.md §2.3); WAN for a 2D well is available via
-:mod:`nnpde_tpu.problems.qho2d`'s machinery and the generic losses.
+
+The reference's README shows 2D-well WAN results but IPW_2D.py has no WAN
+branch (SURVEY.md §2.3, defect list).  This preset ADDS the missing WAN:
+weak form ``int 1/2 grad u . grad phi - E u phi`` with the known eigenvalue,
+2D bump test function, finite-norm regularisation ``(L^2 mean(u^2) - 1)^2``
+with the heavy weight of the WAN-FN trial space (IPW_1D_WAN_FN.py:159-163),
+and the 5-inner-critic-step protocol of QHO_2D.py:343-361.
 """
 
 from __future__ import annotations
@@ -24,14 +28,19 @@ import optax
 from ..losses.zoo import (
     data_mse,
     drm_rayleigh_unscaled,
+    norm_integral,
     orthogonal_projection,
     pinn_helmholtz,
     reflection_mse,
+    wan_pde_loss,
+    wan_weak_residual,
 )
 from ..models import NetSpec, SolutionModel, factor_for_technique
+from ..ops import bump_w
+from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
-from ..train import fit, lbfgs_polish
+from ..train import fit, fit_wan, lbfgs_polish
 
 
 @dataclasses.dataclass
@@ -42,9 +51,11 @@ class IPW2DConfig:
     epochs: int = 10000
     lr: float = 1e-3
     LBFGS: bool = False
-    method: str = "PINN"              # PINN | DRM
+    method: str = "PINN"              # PINN | DRM | WAN
     technique: str = "FBC"            # FBC | FN | OG
     layers: Tuple[int, ...] = (2, 50, 50, 50, 50, 1)
+    v_layers: Tuple[int, ...] = (2, 20, 20, 20, 1)
+    v_steps: int = 5
     grid_n: int = 200
     data_grid_n: int = 50
     n_boundary: int = 200
@@ -70,8 +81,8 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
 
 
 def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
-    if cfg.method not in ("PINN", "DRM"):
-        raise ValueError("method must be 'PINN' or 'DRM'")
+    if cfg.method not in ("PINN", "DRM", "WAN"):
+        raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -115,17 +126,25 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
     E = phys.energy_2d(nx, ny, L)
     k_squared = 2.0 * E
 
-    # IPW_2D.py:172-177 (+ unweighted parity/symmetry at :258)
-    w = {
-        "data": 0.0,
-        "pde": 10.0 if cfg.method == "PINN" else 0.0,
-        "drm": 0.0 if cfg.method == "PINN" else 100.0,
-        "orth": 0.0 if cfg.method == "PINN" else 10000.0,
-        "bc": 10000.0 if cfg.technique == "OG" else 0.0,
-        "parity": 1.0,
-        "symmetry": 1.0,
-        "norm": 0.0,
-    }
+    # IPW_2D.py:172-177 (+ unweighted parity/symmetry at :258); the WAN
+    # table follows QHO_2D.py:294-300 with the WAN-FN finite-norm weight
+    if cfg.method == "WAN":
+        w = {
+            "data": 10000.0, "pde": 10.0, "drm": 0.0, "orth": 0.0,
+            "bc": 10000.0 if cfg.technique == "OG" else 0.0,
+            "parity": 1.0, "symmetry": 1.0, "norm": 1000.0,
+        }
+    else:
+        w = {
+            "data": 0.0,
+            "pde": 10.0 if cfg.method == "PINN" else 0.0,
+            "drm": 0.0 if cfg.method == "PINN" else 100.0,
+            "orth": 0.0 if cfg.method == "PINN" else 10000.0,
+            "bc": 10000.0 if cfg.technique == "OG" else 0.0,
+            "parity": 1.0,
+            "symmetry": 1.0,
+            "norm": 0.0,
+        }
     if cfg.weights:
         w.update(cfg.weights)
     sign_x = 1.0 if nx % 2 == 1 else -1.0
@@ -135,19 +154,8 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
     X_px = jnp.stack([L - X[:, 0], X[:, 1]], 1)
     X_py = jnp.stack([X[:, 0], L - X[:, 1]], 1)
 
-    def loss_terms(params):
-        if cfg.method == "PINN":
-            jet = model.fields(params, X)
-            u, g = jet.value, jet.grad
-            pde = pinn_helmholtz(u, jet.lap, k_squared)
-            drm = jnp.asarray(0.0)
-        else:
-            u, g = model.value_and_grad(params, X)
-            pde = jnp.asarray(0.0)
-            drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
-        terms = {
-            "pde": pde,
-            "drm": drm,
+    def shared_terms(params, u):
+        return {
             "data": data_mse(model.apply_batch(params, X_data), u_data),
             "symmetry": reflection_mse(u, model.apply_batch(params, X_swap))
             if nx == ny
@@ -162,10 +170,23 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             "bc": jnp.mean(model.apply_batch(params, X_bc) ** 2) * 4.0
             if w["bc"] > 0
             else jnp.asarray(0.0),
-            "norm": (L * L * jnp.mean(u**2) - 1.0) ** 2
+            "norm": norm_integral(u, L * L)
             if w["norm"] > 0
             else jnp.asarray(0.0),
         }
+
+    def loss_terms(params):
+        if cfg.method == "PINN":
+            jet = model.fields(params, X)
+            u = jet.value
+            pde = pinn_helmholtz(u, jet.lap, k_squared)
+            drm = jnp.asarray(0.0)
+        else:
+            u, g = model.value_and_grad(params, X)
+            pde = jnp.asarray(0.0)
+            drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
+        terms = {"pde": pde, "drm": drm}
+        terms.update(shared_terms(params, u))
         total = sum(w[k] * terms[k] for k in w)
         return total, terms
 
@@ -173,32 +194,72 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
         return loss_terms(params)
 
     def eval_fn(params, key):
-        """Plain MSE on the training grid (IPW_2D.py:262-266)."""
+        """Plain MSE on the training grid (IPW_2D.py:262-266); WAN uses the
+        sign-aware variant like the other adversarial trainers."""
         u = model.apply_batch(params, X)
+        if cfg.method == "WAN":
+            return sign_aware_mse(u, u_exact)
         return jnp.mean((u - u_exact) ** 2)
 
-    result = fit(
-        loss_fn, eval_fn, params,
-        epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
-        key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
-    )
-    if cfg.LBFGS:
-        polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
-                                   max_iter=500)
-        final_m = float(eval_fn(polished, None))
-        if final_m < result.best_metric:
-            result = result._replace(
-                params=polished, best_params=polished, best_metric=final_m
-            )
-        else:
-            result = result._replace(params=polished)
+    if cfg.method == "WAN":
+        v_model = SolutionModel(
+            NetSpec(tuple(cfg.v_layers), activation="sin"),
+            factor_for_technique("FBC", dim=2, kind="box", L=L),
+        )
+        v_params = v_model.init(jax.random.fold_in(key, 9))
+        wv_const, dwv_const = bump_w(X, 0.0, L)
 
+        def wan_pde(u_params, v_params):
+            u, gu = model.value_and_grad(u_params, X)
+            v, gv = v_model.value_and_grad(v_params, X)
+            phi = wv_const * v
+            gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
+            weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
+            return wan_pde_loss(weak, jnp.mean(phi**2)), u
+
+        def v_loss_fn(v_params, u_params, key):
+            loss_pde, _ = wan_pde(u_params, v_params)
+            return -jnp.log(loss_pde + 1e-8)
+
+        def u_loss_fn(u_params, v_params, key):
+            loss_pde, u = wan_pde(u_params, v_params)
+            terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
+            terms.update(shared_terms(u_params, u))
+            total = sum(w[k] * terms[k] for k in w)
+            return total, terms
+
+        result = fit_wan(
+            u_loss_fn, v_loss_fn, eval_fn, params, v_params,
+            epochs=cfg.epochs, v_steps=cfg.v_steps,
+            u_optimizer=optax.adam(cfg.lr), v_optimizer=optax.adam(cfg.lr),
+            key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
+        )
+    else:
+        result = fit(
+            loss_fn, eval_fn, params,
+            epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+            key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+        )
+        if cfg.LBFGS:
+            polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
+                                       max_iter=500)
+            final_m = float(eval_fn(polished, None))
+            if final_m < result.best_metric:
+                result = result._replace(
+                    params=polished, best_params=polished, best_metric=final_m
+                )
+            else:
+                result = result._replace(params=polished)
+
+    # relative-L2: sqrt(MSE) / rms(psi_exact) — the BASELINE.json metric
+    rms_exact = float(jnp.sqrt(jnp.mean(u_exact**2)))
     return {
         "config": dataclasses.asdict(cfg),
         "model": model,
         "result": result,
         "history": result.history,
         "L2_error": float(result.best_metric),
+        "rel_l2": float(result.best_metric) ** 0.5 / rms_exact,
         "min_epoch": result.best_epoch,
         "weights": w,
     }

@@ -47,6 +47,8 @@ class PoissonConfig:
     ks: Optional[Sequence[int]] = None       # default [1]*dim
     method: str = "PINN"                     # PINN | DRM | WAN
     bc_mode: str = "FBC"                     # FBC | RB
+    bc_type: str = "dirichlet"               # dirichlet | neumann (RB only)
+    solution: str = "sin"                    # manufactured family: sin | cos
     n_interior: int = 20000
     n_boundary: int = 4000
     n_data: int = 0
@@ -88,7 +90,22 @@ def _solution_model(cfg: PoissonConfig) -> SolutionModel:
     )
     if cfg.bc_mode not in ("FBC", "RB"):
         raise ValueError("bc_mode must be 'FBC' or 'RB'")
+    if cfg.bc_type == "neumann" and cfg.bc_mode == "FBC":
+        raise ValueError(
+            "Neumann BCs need the soft penalty (bc_mode='RB'): the FBC "
+            "trial factor hard-enforces Dirichlet"
+        )
+    if cfg.bc_type not in ("dirichlet", "neumann"):
+        raise ValueError("bc_type must be 'dirichlet' or 'neumann'")
     return SolutionModel(NetSpec(layers, activation="sin"), factor)
+
+
+def _exact_fns(cfg: PoissonConfig):
+    if cfg.solution == "sin":
+        return phys.exact_u_prod_sin, phys.rhs_f_for_u_sin
+    if cfg.solution == "cos":
+        return phys.exact_u_prod_cos, phys.rhs_f_for_u_cos
+    raise ValueError("solution must be 'sin' or 'cos'")
 
 
 def _critic_model(cfg: PoissonConfig) -> SolutionModel:
@@ -101,8 +118,15 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         raise ValueError("method must be one of {'PINN','DRM','WAN'}")
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
+    if cfg.bc_type == "neumann":
+        # pure-Neumann Poisson is defined up to a constant: pin the mean
+        # (the cos family has exact zero mean)
+        w.setdefault("mean", 1.0)
+    else:
+        w.setdefault("mean", 0.0)
     box = Box.cube(cfg.dim, 0.0, cfg.L)
     model = _solution_model(cfg)
+    exact_u, rhs_f = _exact_fns(cfg)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_x, k_data, k_train = jax.random.split(key, 4)
@@ -110,21 +134,30 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
     # fixed interior collocation set + detached RHS (Poisson_ND.py:193-194)
     X_in = uniform_box(k_x, cfg.n_interior, box)
-    f_in = phys.rhs_f_for_u_sin(X_in, cfg.L, ks)
+    f_in = rhs_f(X_in, cfg.L, ks)
 
     if cfg.n_data > 0:
         X_data = uniform_box(k_data, cfg.n_data, box)
-        u_data = phys.exact_u_prod_sin(X_data, cfg.L, ks)
+        u_data = exact_u(X_data, cfg.L, ks)
     else:
         X_data = u_data = None
 
     per_face = max(1, cfg.n_boundary // (2 * cfg.dim))
 
     def aux_terms(params, key, u_interior):
-        """bc / data / norm losses shared by every method."""
+        """bc / data / norm / mean losses shared by every method."""
         if cfg.bc_mode == "RB":
             Xb = face_points(key, per_face, box)
-            bc = jnp.mean(model.apply_batch(params, Xb) ** 2)
+            if cfg.bc_type == "neumann":
+                # penalise the normal derivative on each face batch; faces
+                # are axis-aligned so du/dn is the corresponding gradient
+                # component (sign of the outward normal squares away)
+                _, gb = model.value_and_grad(params, Xb)
+                comp = jnp.repeat(jnp.arange(cfg.dim), 2 * per_face)
+                gn = jnp.take_along_axis(gb, comp[:, None], axis=1)[:, 0]
+                bc = jnp.mean(gn**2)
+            else:
+                bc = jnp.mean(model.apply_batch(params, Xb) ** 2)
         else:
             bc = jnp.asarray(0.0)
         data = (
@@ -141,13 +174,16 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                 raise ValueError("norm mode should be 'nontrivial' or 'l2'")
         else:
             norm = jnp.asarray(0.0)
-        return bc, data, norm
+        mean_pen = (
+            jnp.mean(u_interior) ** 2 if w["mean"] > 0 else jnp.asarray(0.0)
+        )
+        return bc, data, norm, mean_pen
 
     def eval_fn(params, key):
         """RMSE vs exact on fresh uniform points (Poisson_ND.py:281-285)."""
         X_te = uniform_box(key, cfg.n_eval, box)
         u = model.apply_batch(params, X_te)
-        return jnp.sqrt(jnp.mean((u - phys.exact_u_prod_sin(X_te, cfg.L, ks)) ** 2))
+        return jnp.sqrt(jnp.mean((u - exact_u(X_te, cfg.L, ks)) ** 2))
 
     optimizer = optax.adam(cfg.lr)
 
@@ -161,8 +197,11 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             else:
                 u_int, g = model.value_and_grad(params, X_in)
                 pde = drm_poisson_energy(u_int, g, f_in)
-            bc, data, norm = aux_terms(params, key, u_int)
-            total = w["pde"] * pde + w["bc"] * bc + w["data"] * data + w["norm"] * norm
+            bc, data, norm, mean_pen = aux_terms(params, key, u_int)
+            total = (
+                w["pde"] * pde + w["bc"] * bc + w["data"] * data
+                + w["norm"] * norm + w["mean"] * mean_pen
+            )
             return total, {"pde": pde, "bc": bc, "data": data, "norm": norm}
 
         result = fit(
@@ -188,18 +227,21 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             """Critic objective -log(loss_pde) + reg * mean(|grad v|^2 + v^2),
             on a fresh interior sample (Poisson_ND.py:105-128,244-248)."""
             Xc = uniform_box(key, cfg.n_interior, box)
-            fc = phys.rhs_f_for_u_sin(Xc, cfg.L, ks)
+            fc = rhs_f(Xc, cfg.L, ks)
             loss_pde, _, _, _, v, gv = wan_core(u_params, v_params, Xc, fc)
             v_reg = jnp.mean(jnp.sum(gv * gv, axis=-1) + v * v)
             return -jnp.log(loss_pde + 1e-8) + cfg.wan_reg * v_reg
 
         def u_loss_fn(u_params, v_params, key):
             Xu = uniform_box(key, cfg.n_interior, box)
-            fu = phys.rhs_f_for_u_sin(Xu, cfg.L, ks)
+            fu = rhs_f(Xu, cfg.L, ks)
             loss_pde, weak, phi_norm, u_int, _, _ = wan_core(u_params, v_params, Xu, fu)
-            bc, data, norm = aux_terms(u_params, jax.random.fold_in(key, 7), u_int)
+            bc, data, norm, mean_pen = aux_terms(
+                u_params, jax.random.fold_in(key, 7), u_int
+            )
             total = (
-                w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data + w["norm"] * norm
+                w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data
+                + w["norm"] * norm + w["mean"] * mean_pen
             )
             return total, {
                 "pde": loss_pde, "bc": bc, "data": data, "norm": norm,
@@ -213,6 +255,9 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             key=k_train, chunk=min(cfg.chunk, 500),
         )
 
+    # rms of the manufactured solution: mean(sin^2) = 1/2 per dimension, so
+    # ||u*||_rms = 2^{-d/2} exactly — gives the relative-L2 of BASELINE.json
+    rms_exact = 0.5 ** (cfg.dim / 2.0)
     return {
         "config": dataclasses.asdict(cfg),
         "model": model,
@@ -220,5 +265,6 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         "history": result.history,
         "final_l2": float(result.history["l2"][-1]),
         "best_l2": result.best_metric,
+        "rel_l2": result.best_metric / rms_exact,
         "best_epoch": result.best_epoch,
     }

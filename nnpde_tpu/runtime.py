@@ -32,6 +32,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def enable_debug_nans(on: bool = True) -> None:
+    """Opt-in NaN trapping (the reference's nearest analogue is scattered
+    eps/nan_to_num guards — SURVEY.md §5 'race detection / sanitizers')."""
+    jax.config.update("jax_debug_nans", on)
+
+
+def profile_trace(log_dir: str):
+    """Context manager capturing a jax.profiler trace into ``log_dir``
+    (viewable in TensorBoard / Perfetto)."""
+    return jax.profiler.trace(log_dir)
+
+
 def force_cpu(n_devices: int = 8) -> None:
     """Switch this process to a virtual multi-device CPU backend (tests,
     multi-chip dry runs).  Safe to call even after another backend was

@@ -45,6 +45,8 @@ class FitResult(NamedTuple):
     history: Dict[str, np.ndarray]   # per-epoch metric curves (host)
     v_params: Any = None             # WAN critic final params
     best_v_params: Any = None        # WAN critic at the best epoch
+    carry: Any = None                # full train state (resume support)
+    timing: Dict[str, float] = {}    # wall-clock + throughput counters
 
 
 def tree_where(pred, a, b):
@@ -77,7 +79,12 @@ def fit(
     key,
     chunk: int = 1000,
     progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    init_carry=None,
+    start_epoch: int = 0,
 ) -> FitResult:
+    """``init_carry``/``start_epoch`` resume a run from a previous
+    ``FitResult.carry`` (checkpoint/resume — the reference can only
+    checkpoint, never resume, SURVEY.md §5)."""
     enable_compilation_cache()
     opt_state = optimizer.init(params)
 
@@ -102,7 +109,7 @@ def fit(
 
     scan_chunk = jax.jit(lambda carry, xs: jax.lax.scan(step, carry, xs))
 
-    carry = (
+    carry = init_carry if init_carry is not None else (
         params,
         opt_state,
         jnp.asarray(jnp.inf, jnp.float32),
@@ -110,7 +117,11 @@ def fit(
         jnp.asarray(-1, jnp.int32),
     )
     parts = []
+    import time as _time
+
+    t0 = _time.time()
     for start, n in _chunks(epochs, chunk):
+        start = start + start_epoch
         ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(start, start + n)
         )
@@ -118,6 +129,8 @@ def fit(
         parts.append(hist)
         if progress is not None:
             progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
+    jax.block_until_ready(carry)
+    elapsed = _time.time() - t0
     params, _, best_m, best_p, best_e = carry
     return FitResult(
         params=params,
@@ -125,6 +138,11 @@ def fit(
         best_metric=float(best_m),
         best_epoch=int(best_e),
         history=_stack_history(parts),
+        carry=carry,
+        timing={
+            "elapsed_s": elapsed,
+            "steps_per_s": epochs / elapsed if elapsed > 0 else float("nan"),
+        },
     )
 
 
@@ -142,6 +160,8 @@ def fit_wan(
     key,
     chunk: int = 500,
     progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    init_carry=None,
+    start_epoch: int = 0,
 ) -> FitResult:
     """Fused adversarial training step: v_steps critic updates then one
     primal update, all inside one compiled scan step."""
@@ -190,13 +210,17 @@ def fit_wan(
 
     scan_chunk = jax.jit(lambda carry, xs: jax.lax.scan(step, carry, xs))
 
-    carry = (
+    carry = init_carry if init_carry is not None else (
         u_params, v_params, u_opt_state, v_opt_state,
         jnp.asarray(jnp.inf, jnp.float32), u_params, v_params,
         jnp.asarray(-1, jnp.int32),
     )
     parts = []
+    import time as _time
+
+    t0 = _time.time()
     for start, n in _chunks(epochs, chunk):
+        start = start + start_epoch
         ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(start, start + n)
         )
@@ -204,6 +228,8 @@ def fit_wan(
         parts.append(hist)
         if progress is not None:
             progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
+    jax.block_until_ready(carry)
+    elapsed = _time.time() - t0
     u_params, v_params, _, _, best_m, best_up, best_vp, best_e = carry
     return FitResult(
         params=u_params,
@@ -213,4 +239,9 @@ def fit_wan(
         history=_stack_history(parts),
         v_params=v_params,
         best_v_params=best_vp,
+        carry=carry,
+        timing={
+            "elapsed_s": elapsed,
+            "steps_per_s": epochs / elapsed if elapsed > 0 else float("nan"),
+        },
     )

@@ -1,0 +1,125 @@
+"""Acceptance runs: the BASELINE.json north-star configs at full scale.
+
+Targets (driver-set, BASELINE.md):
+  * rel-L2 <= 1e-3 on 2D IPW n=(3,3)  (WAN + finite-norm / FN trial)
+  * rel-L2 <= 1e-3 on 5D Poisson
+Also runs the remaining BASELINE "configs" list entries at reference scale.
+
+Writes one JSON line per run to ACCEPTANCE.json (repo root) and prints a
+summary table.  Intended to run on the TPU:  python scripts/acceptance.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nnpde_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "ACCEPTANCE.json")
+
+
+def record(name, payload):
+    rows = []
+    if os.path.exists(OUT):
+        rows = json.load(open(OUT))
+    rows = [r for r in rows if r.get("name") != name]
+    rows.append({"name": name, **payload})
+    json.dump(rows, open(OUT, "w"), indent=2)
+    print(f"[acceptance] {name}: {json.dumps(payload)}", flush=True)
+
+
+def run_poisson(dim, method, epochs=10000):
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    t0 = time.time()
+    out = train_poisson_nd(PoissonConfig(
+        dim=dim, method=method, bc_mode="FBC", epochs=epochs,
+        n_interior=20000, chunk=2000,
+    ))
+    record(f"poisson_{dim}d_{method.lower()}", {
+        "rel_l2": out["rel_l2"], "best_l2_rmse": out["best_l2"],
+        "best_epoch": out["best_epoch"], "epochs": epochs,
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-3" if dim == 5 else None,
+        "pass": out["rel_l2"] <= 1e-3,
+    })
+    return out
+
+
+def run_ipw2d_n33(method, technique="FN", epochs=20000, weights=None):
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    t0 = time.time()
+    out = train_ipw_2d(IPW2DConfig(
+        nx=3, ny=3, method=method, technique=technique, epochs=epochs,
+        chunk=2000, weights=weights,
+    ))
+    record(f"ipw2d_n33_{method.lower()}_{technique.lower()}", {
+        "rel_l2": out["rel_l2"], "best_mse": out["L2_error"],
+        "best_epoch": out["min_epoch"], "epochs": epochs,
+        "elapsed_s": round(time.time() - t0, 1),
+        "weights_override": weights,
+        "target": "rel_l2 <= 1e-3",
+        "pass": out["rel_l2"] <= 1e-3,
+    })
+    return out
+
+
+def run_qho1d(n, method, epochs=10000):
+    from nnpde_tpu.problems.qho import QHO1DConfig, train_qho_1d
+
+    t0 = time.time()
+    out = train_qho_1d(QHO1DConfig(n=n, method=method, technique="FN",
+                                   epochs=epochs, chunk=2000))
+    record(f"qho1d_n{n}_{method.lower()}_fn", {
+        "best_mse": out["L2_error"], "best_epoch": out["min_epoch"],
+        "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+    })
+    return out
+
+
+def run_kh(epochs=10000):
+    from nnpde_tpu.pde import kh
+    from nnpde_tpu.problems.kh import KHConfig, train_kh
+
+    t0 = time.time()
+    gt = kh.KHGroundTruth(alpha=10.0, L=60.0, N=5000, n_levels=6,
+                          use_avg=True, n_theta=500)
+    out = train_kh(KHConfig(
+        method="PINN", n=0, technique="FBC", epochs=epochs,
+        layers=(1, 100, 100, 100, 1), train_n=1024, chunk=2000,
+        lambda_pde=10.0, lambda_data=1e4, lambda_norm=10.0,
+        data_fraction=0.5, max_data_points=500, lambda_parity=1e4,
+    ), gt)
+    record("kh1d_alpha10_pinn", {
+        "best_mse": out["L2"], "E_est": out["E_est"], "E_ref": out["E_ref"],
+        "E_abs_err": abs(out["E_est"] - out["E_ref"]),
+        "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+    })
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "poisson"):
+        run_poisson(1, "PINN")
+        run_poisson(5, "PINN")
+        run_poisson(5, "DRM")
+    if which in ("all", "ipw2d"):
+        run_ipw2d_n33("PINN", weights={"data": 1e4})
+        run_ipw2d_n33("WAN")
+    if which in ("all", "qho"):
+        for n in range(4):
+            run_qho1d(n, "PINN")
+            run_qho1d(n, "DRM")
+    if which in ("all", "kh"):
+        run_kh()
+    print(open(OUT).read())

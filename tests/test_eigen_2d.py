@@ -13,7 +13,8 @@ from nnpde_tpu.problems.qho2d import QHO2DConfig, train_qho_2d
 
 def ipw_cfg(**kw):
     base = dict(nx=1, ny=1, epochs=500, grid_n=48, data_grid_n=20,
-                n_boundary=50, chunk=250, layers=(2, 32, 32, 32, 1))
+                n_boundary=50, chunk=250, layers=(2, 32, 32, 32, 1),
+                v_layers=(2, 16, 16, 1), v_steps=2)
     base.update(kw)
     return IPW2DConfig(**base)
 
@@ -58,6 +59,21 @@ def test_ipw_2d_fn_forces_nodal_lines():
     pts = jnp.stack([jnp.full((5,), 1.0), jnp.linspace(0.2, 1.8, 5)], 1)
     u = out["model"].apply_batch(out["result"].params, pts)
     assert float(jnp.max(jnp.abs(u))) < 1e-5
+
+
+def test_ipw_2d_wan_runs_and_improves():
+    """The WAN branch the reference README promises but never implemented
+    (SURVEY.md §2.3) — weak form with known E + finite-norm regulariser."""
+    out = train_ipw_2d(ipw_cfg(
+        method="WAN", technique="FN", nx=2, ny=2, epochs=200, chunk=100,
+        v_layers=(2, 16, 16, 1), v_steps=2,
+    ))
+    h = out["history"]
+    assert np.all(np.isfinite(h["l2"]))
+    assert "wan_loss_v" in h
+    assert out["weights"]["norm"] == 1000.0  # finite-norm regularisation
+    assert out["L2_error"] <= h["l2"][0]
+    assert "rel_l2" in out
 
 
 def test_ipw_2d_weights():

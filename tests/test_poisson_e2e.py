@@ -61,6 +61,23 @@ def test_best_tracking_semantics():
     assert abs(out["best_l2"] - float(np.min(h))) < 1e-7
 
 
+def test_neumann_cos_family_converges():
+    """Neumann capability (reference README claims it, code lacks it):
+    zero-Neumann manufactured cos solution + normal-derivative penalty."""
+    out = train_poisson_nd(small_cfg(
+        bc_mode="RB", bc_type="neumann", solution="cos",
+        epochs=2000, chunk=500,
+    ))
+    assert out["best_l2"] < 0.1, out["best_l2"]
+    assert "rel_l2" in out
+
+
+def test_neumann_requires_rb():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Neumann"):
+        train_poisson_nd(small_cfg(bc_mode="FBC", bc_type="neumann", epochs=1))
+
+
 def test_default_weights_match_reference():
     cfg = small_cfg(bc_mode="RB", n_data=10)
     w = cfg.resolved_weights()
