@@ -117,6 +117,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lbfgs", action="store_true")
     _add_common(p, epochs=10000)
 
+    p = sub.add_parser("sweep", help="reference experiment sweeps")
+    p.add_argument("which", choices=[
+        "poisson", "ipw1d", "ipw-wan-fn-ablation", "qho1d", "qho2d-energy",
+    ])
+    p.add_argument("--n-values", type=_int_list, default=[1])
+    p.add_argument("--dims", type=_int_list, default=[2])
+    p.add_argument("--include-wan", action="store_true")
+    _add_common(p, epochs=3000)
+
     p = sub.add_parser("kh", help="Kramers-Henneberger unified compare")
     p.add_argument("--alpha", type=float, default=10.0)
     p.add_argument("--L", type=float, default=60.0)
@@ -207,6 +216,32 @@ def main(argv=None) -> int:
                           energy_variant=args.energy_variant,
                           LBFGS=args.lbfgs, **kw)
         out = run_qho_2d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_2D"))
+    elif args.cmd == "sweep":
+        from . import sweeps
+
+        common = dict(epochs=args.epochs)
+        if args.chunk:
+            common["chunk"] = args.chunk
+        if args.save_dir:
+            common["save_dir"] = args.save_dir
+        if args.which == "poisson":
+            rows = sweeps.sweep_poisson(dims=args.dims, **common)
+        elif args.which == "ipw1d":
+            rows = sweeps.sweep_ipw_1d(
+                args.n_values, include_wan=args.include_wan, **common
+            )
+        elif args.which == "ipw-wan-fn-ablation":
+            rows = sweeps.sweep_ipw_wan_fn_ablation(
+                n=args.n_values[0], **common
+            )
+        elif args.which == "qho1d":
+            rows = sweeps.sweep_qho_1d(args.n_values, **common)
+        else:
+            rows = sweeps.sweep_qho_2d_energy(**common)
+        for r in rows:
+            print(json.dumps({k: r.get(k) for k in
+                              ("method", "technique", "n", "L2_error")}))
+        return 0
     elif args.cmd == "kh":
         from ..problems.kh import KHCompareConfig, run_compare
 

@@ -38,9 +38,21 @@ def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
     ckpt = save_params(
         os.path.join(save_dir, f"{tag}_best"), result.best_params, meta=meta
     )
-    curves = save_curves(
-        save_dir, tag, {"losses": hist["total"], "L2_errors": hist["l2"]}
-    )
+    # per-metric npy curves, reference naming for the two headline metrics
+    # (losses / L2_errors) plus every extra tracked term
+    curve_dict = {"losses": hist["total"], "L2_errors": hist["l2"]}
+    for k, v in hist.items():
+        if k not in ("total", "l2"):
+            curve_dict[k] = v
+    curves = save_curves(save_dir, tag, curve_dict)
+    if result.best_v_params is not None:
+        # WAN critic snapshot at the best epoch (reference saves best_v,
+        # Poisson_ND.py:326-328, IPW_1D_WAN.py:237-240)
+        save_params(
+            os.path.join(save_dir, f"{tag}_best_v"),
+            result.best_v_params,
+            meta={**meta, "role": "critic"},
+        )
     row = {
         "tag": tag,
         "L2_error": float(np.min(hist["l2"])),

@@ -40,7 +40,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
-from ..train import fit, fit_wan, lbfgs_polish
+from ..train import fit, fit_wan, lbfgs_polish, make_optimizer
 
 
 @dataclasses.dataclass
@@ -60,6 +60,7 @@ class IPW2DConfig:
     data_grid_n: int = 50
     n_boundary: int = 200
     seed: int = 0
+    lr_schedule: str = "constant"   # constant | cosine | exponential
     chunk: int = 1000
     # Optional overrides of the reference weight table.  NOTE: the reference
     # table has lambda_data = 0 and no norm loss (IPW_2D.py:172-177), so its
@@ -231,13 +232,13 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=optax.adam(cfg.lr), v_optimizer=optax.adam(cfg.lr),
+            u_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs), v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
             key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
         )
     else:
         result = fit(
             loss_fn, eval_fn, params,
-            epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+            epochs=cfg.epochs, optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
         )
         if cfg.LBFGS:

@@ -37,7 +37,7 @@ from ..ops import bump_w
 from ..pde import poisson as phys
 from ..pde.domain import Box
 from ..sampling import face_points, uniform_box
-from ..train import FitResult, fit, fit_wan
+from ..train import FitResult, fit, fit_wan, make_optimizer
 
 
 @dataclasses.dataclass
@@ -63,6 +63,7 @@ class PoissonConfig:
     norm_mode: str = "nontrivial"
     weights: Optional[Dict[str, float]] = None
     seed: int = 0
+    lr_schedule: str = "constant"   # constant | cosine | exponential
     n_eval: int = 10000
     chunk: int = 1000
 
@@ -185,7 +186,7 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         u = model.apply_batch(params, X_te)
         return jnp.sqrt(jnp.mean((u - exact_u(X_te, cfg.L, ks)) ** 2))
 
-    optimizer = optax.adam(cfg.lr)
+    optimizer = make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs)
 
     if cfg.method in ("PINN", "DRM"):
 
@@ -251,7 +252,7 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.critic_steps,
-            u_optimizer=optimizer, v_optimizer=optax.adam(cfg.lr),
+            u_optimizer=optimizer, v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
             key=k_train, chunk=min(cfg.chunk, 500),
         )
 

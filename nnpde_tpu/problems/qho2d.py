@@ -41,7 +41,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import qho as phys
 from ..sampling import meshgrid_2d
-from ..train import fit, fit_wan, lbfgs_polish
+from ..train import fit, fit_wan, lbfgs_polish, make_optimizer
 
 
 @dataclasses.dataclass
@@ -63,6 +63,7 @@ class QHO2DConfig:
     trainable_energy: bool = False     # QHO_2D_Energy.py variant
     energy_variant: bool = False       # use the Energy-script weight table
     seed: int = 0
+    lr_schedule: str = "constant"   # constant | cosine | exponential
     chunk: int = 500
     weights: Optional[Dict[str, float]] = None   # override the weight table
 
@@ -214,7 +215,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
 
         result = fit(
             loss_fn, eval_fn, params,
-            epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+            epochs=cfg.epochs, optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
         )
         if cfg.LBFGS:
@@ -272,7 +273,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=optax.adam(cfg.lr), v_optimizer=optax.adam(cfg.lr),
+            u_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs), v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
         )
         learned_E = E_exact
