@@ -1,23 +1,23 @@
 """Pallas TPU kernel: fused MLP forward-Laplacian with custom VJP.
 
-The XLA path (:func:`nnpde_tpu.ops.fwdlap.mlp_fwdlap`) runs one matmul per
-stream per layer with HBM round-trips between layers; its training-step
-throughput tops out well below the chip's compute bound.  This kernel keeps
-the whole per-tile pipeline in VMEM:
+The XLA path (:func:`nnpde_tpu.ops.fwdlap.mlp_fwdlap`) is bandwidth-optimal
+in the forward but its backward materialises every jet cotangent stream in
+HBM per elementwise op (~10x the forward cost).  This kernel keeps the whole
+per-tile pipeline in VMEM:
 
-* the (value, d x jacobian, laplacian) streams are **stacked** into one
-  ``((d+2)*T, w)`` matrix so each layer is a single MXU matmul;
-* the backward pass **recomputes** the forward inside the tile
+* the (value, d x jacobian, laplacian) streams live in one ``(d+2, T, w)``
+  array — leading "stream" dim for cheap slicing/stacking, flattened to
+  ``((d+2)T, w)`` (a free reshape) so each layer is a single MXU matmul;
+* the backward **recomputes** the forward inside the tile
   (rematerialisation in VMEM — no activation spill to HBM) and accumulates
   dW/db across batch tiles by revisiting the same output block on TPU's
   sequential grid;
-* HBM traffic per point is just X in + (u, grad, lap) out (+ cotangents in
-  the backward), instead of per-layer stream round-trips.
+* mixed precision: exact f32 (6-pass) forward dots, fast-accumulating
+  backward dots (gradients average over ~1e5+ points).
 
 Exactness: identical math to the XLA path (the Forward-Laplacian recurrence,
-arXiv:2307.08214), f32 accumulation.  Differentiable via ``jax.custom_vjp``
-(cotangents w.r.t. weights and biases; X is collocation data and gets a
-zero cotangent).
+arXiv:2307.08214).  Differentiable via ``jax.custom_vjp`` (cotangents w.r.t.
+weights and biases; X is collocation data and gets a zero cotangent).
 """
 
 from __future__ import annotations
@@ -81,39 +81,42 @@ def _dot(a, b, precision=jax.lax.Precision.HIGHEST):
 # ------------------------------------------------------- forward stream sweep
 def _fwd_streams(X, Ws, bs, d, T, act, keep_pre=False,
                  precision=jax.lax.Precision.HIGHEST):
-    """Stacked-stream forward.
+    """3D stacked-stream forward.
 
-    Stack layout S ((d+2)T, w): rows [0:T] value, [(1+i)T:(2+i)T] jacobian
-    row i, [(1+d)T:] laplacian.  ``bs`` entries are (1, w).  Returns
-    (S_last, pre_acts) where pre_acts[k] is the stack before the activation
-    of hidden transition k (empty unless keep_pre).
+    S (d+2, T, w): S[0] value, S[1+i] jacobian row i, S[d+1] laplacian.
+    ``bs`` entries are (1, w).  Returns (S_last, pre_acts) where pre_acts[k]
+    is the stack before the activation of hidden transition k (empty unless
+    keep_pre).
     """
     s, s1f, s2f, _ = act
     w0 = Ws[0]
     width = w0.shape[1]
     v = _dot(X, w0, precision) + bs[0]
-    J = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
-    l = jnp.zeros((T, width), jnp.float32)
-    S = jnp.concatenate([v] + J + [l], axis=0)
+    S = jnp.stack(
+        [v]
+        + [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
+        + [jnp.zeros((T, width), jnp.float32)],
+        axis=0,
+    )
     pre_acts = []
     for k in range(1, len(Ws)):
         if keep_pre:
             pre_acts.append(S)
-        v = S[0:T]
+        v = S[0]
         s1v, s2v = s1f(v), s2f(v)
         sumJ2 = jnp.zeros_like(v)
-        newS = [s(v)]
         for i in range(d):
-            Ji = S[(1 + i) * T:(2 + i) * T]
-            sumJ2 = sumJ2 + Ji * Ji
-            newS.append(s1v * Ji)
-        lrow = S[(1 + d) * T:]
-        newS.append(s1v * lrow + s2v * sumJ2)
-        S = _dot(jnp.concatenate(newS, axis=0), Ws[k], precision)
-        # bias only on the value-stream rows; Mosaic cannot re-concatenate
-        # narrow column vectors, so use a row mask instead of slicing
-        rows = jax.lax.broadcasted_iota(jnp.int32, S.shape, 0)
-        S = S + jnp.where(rows < T, 1.0, 0.0) * bs[k]
+            sumJ2 = sumJ2 + S[1 + i] * S[1 + i]
+        newS = jnp.stack(
+            [s(v)]
+            + [s1v * S[1 + i] for i in range(d)]
+            + [s1v * S[d + 1] + s2v * sumJ2],
+            axis=0,
+        )
+        width_out = Ws[k].shape[1]
+        S = _dot(newS.reshape((d + 2) * T, width), Ws[k], precision)
+        S = S.reshape(d + 2, T, width_out)
+        S = jnp.concatenate([S[0:1] + bs[k][None], S[1:]], axis=0)
     return S, pre_acts
 
 
@@ -123,10 +126,8 @@ def _forward_kernel(d, n_layers, T, activation, X_ref, *refs):
     bs = [refs[n_layers + i][...] for i in range(n_layers)]
     out_ref = refs[2 * n_layers]
     act = _act_fns(activation)
-    S, _ = _fwd_streams(X_ref[...], Ws, bs, d, T, act)
-    # emit the raw stacked ((d+2)T, 1) block; the XLA caller restacks it
-    # into (T, d+2) columns (Mosaic cannot concat narrow column vectors)
-    out_ref[...] = S
+    S, _ = _fwd_streams(X_ref[0], Ws, bs, d, T, act)
+    out_ref[...] = S[..., 0][None]        # (1, d+2, T)
 
 
 # ----------------------------------------------------------- backward kernel
@@ -134,13 +135,13 @@ def _backward_kernel(d, n_layers, T, activation, X_ref, *refs):
     """Recompute forward in VMEM, then reverse; accumulate dW/db over tiles."""
     Ws = [refs[i][...] for i in range(n_layers)]
     bs = [refs[n_layers + i][...] for i in range(n_layers)]
-    ct_ref = refs[2 * n_layers]                       # (T, d+2)
+    ct_ref = refs[2 * n_layers]                       # (1, d+2, T)
     dW_refs = refs[2 * n_layers + 1: 3 * n_layers + 1]
     db_refs = refs[3 * n_layers + 1: 4 * n_layers + 1]
     act = _act_fns(activation)
     s, s1f, s2f, s3f = act
 
-    X = X_ref[...]
+    X = X_ref[0]
     prec = jax.lax.Precision.DEFAULT
     _, pre_acts = _fwd_streams(X, Ws, bs, d, T, act, keep_pre=True,
                                precision=prec)
@@ -152,50 +153,54 @@ def _backward_kernel(d, n_layers, T, activation, X_ref, *refs):
             dW_refs[k][...] = jnp.zeros_like(dW_refs[k])
             db_refs[k][...] = jnp.zeros_like(db_refs[k])
 
-    # cotangent arrives already in the stacked ((d+2)T, 1) layout
-    dS = ct_ref[...]
+    # cotangent (1, d+2, T) -> dS (d+2, T, 1)
+    dS = ct_ref[0][..., None]
 
     for k in range(n_layers - 1, 0, -1):
         pre = pre_acts[k - 1]
-        v = pre[0:T]
+        v = pre[0]
         s1v, s2v, s3v = s1f(v), s2f(v), s3f(v)
-        Js = [pre[(1 + i) * T:(2 + i) * T] for i in range(d)]
-        lrow = pre[(1 + d) * T:]
+        lrow = pre[d + 1]
         sumJ2 = jnp.zeros_like(v)
-        for Ji in Js:
-            sumJ2 = sumJ2 + Ji * Ji
+        for i in range(d):
+            sumJ2 = sumJ2 + pre[1 + i] * pre[1 + i]
         # post-activation stack A (input of linear k)
-        A = jnp.concatenate(
-            [s(v)] + [s1v * Ji for Ji in Js] + [s1v * lrow + s2v * sumJ2],
+        A = jnp.stack(
+            [s(v)]
+            + [s1v * pre[1 + i] for i in range(d)]
+            + [s1v * lrow + s2v * sumJ2],
             axis=0,
         )
-        # linear k: out = A @ W_k (+ b_k on value rows)
-        dW_refs[k][...] += _dot(A.T, dS, prec)
-        db_refs[k][...] += jnp.sum(dS[0:T], axis=0, keepdims=True)
-        dA = _dot(dS, Ws[k].T, prec)
-        # elementwise backward:
-        #   value~   = sigma(v)
-        #   J~_i     = sigma'(v) J_i
-        #   l~       = sigma'(v) l + sigma''(v) sum_i J_i^2
-        dv_t = dA[0:T]
-        dJ_t = [dA[(1 + i) * T:(2 + i) * T] for i in range(d)]
-        dl_t = dA[(1 + d) * T:]
+        win = Ws[k].shape[0]
+        wout = Ws[k].shape[1]
+        A2 = A.reshape((d + 2) * T, win)
+        dS2 = dS.reshape((d + 2) * T, wout)
+        dW_refs[k][...] += _dot(A2.T, dS2, prec)
+        db_refs[k][...] += jnp.sum(dS[0], axis=0, keepdims=True)
+        dA = _dot(dS2, Ws[k].T, prec).reshape(d + 2, T, win)
+        # elementwise backward through
+        #   value~ = s(v);  J~_i = s1 J_i;  l~ = s1 l + s2 sum_i J_i^2
+        dv_t = dA[0]
+        dl_t = dA[d + 1]
         dv = s1v * dv_t + (s2v * lrow + s3v * sumJ2) * dl_t
         dJs = []
         for i in range(d):
-            dv = dv + s2v * Js[i] * dJ_t[i]
-            dJs.append(s1v * dJ_t[i] + 2.0 * s2v * Js[i] * dl_t)
+            Ji = pre[1 + i]
+            dv = dv + s2v * Ji * dA[1 + i]
+            dJs.append(s1v * dA[1 + i] + 2.0 * s2v * Ji * dl_t)
         dl = s1v * dl_t
-        dS = jnp.concatenate([dv] + dJs + [dl], axis=0)
+        dS = jnp.stack([dv] + dJs + [dl], axis=0)
 
     # first layer: v0 = X @ W0 + b0 ; J0_i = broadcast W0[i, :] ; l0 = 0
-    dv0 = dS[0:T]
+    dv0 = dS[0]
     dW0 = _dot(X.T, dv0, prec)
-    # dW0[i, :] += sum_T dS_Ji — as one mask matmul (d, (d+2)T) @ dS
+    width0 = Ws[0].shape[1]
+    # dW0[i, :] += sum_T dS_Ji — one mask matmul (d, (d+2)T) @ dS2d
+    dS2 = dS.reshape((d + 2) * T, width0)
     row_id = jax.lax.broadcasted_iota(jnp.int32, (d, (d + 2) * T), 0)
     col_grp = jax.lax.broadcasted_iota(jnp.int32, (d, (d + 2) * T), 1) // T
     sel = jnp.where(col_grp == row_id + 1, 1.0, 0.0)
-    dW_refs[0][...] += dW0 + _dot(sel, dS, prec)
+    dW_refs[0][...] += dW0 + _dot(sel, dS2, prec)
     db_refs[0][...] += jnp.sum(dv0, axis=0, keepdims=True)
 
 
@@ -218,21 +223,23 @@ def _run_forward(flat_params, X, activation, tile, interpret):
     d = X.shape[1]
     n_layers = len(Ws)
     Xp, N, Np = _pad(X, tile)
+    n_tiles = Np // tile
+    Xt = Xp.reshape(n_tiles, tile, d)
     kernel = functools.partial(_forward_kernel, d, n_layers, tile, activation)
-    in_specs = [pl.BlockSpec((tile, d), lambda i: (i, 0))]
+    in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in Ws]
     in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
     out = pl.pallas_call(
         kernel,
-        grid=(Np // tile,),
+        grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(((d + 2) * tile, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Np * (d + 2), 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, d + 2, tile), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, d + 2, tile), jnp.float32),
         interpret=interpret,
-    )(Xp, *Ws, *bs)
-    # unstack: per tile the rows are [value(T); J_0(T); ...; lap(T)]
-    out = out.reshape(Np // tile, d + 2, tile).transpose(0, 2, 1)
-    return out.reshape(Np, d + 2)[:N]
+    )(Xt, *Ws, *bs)
+    # (n_tiles, d+2, T) -> (N, d+2)
+    out = out.transpose(0, 2, 1).reshape(Np, d + 2)
+    return out[:N]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -249,27 +256,22 @@ def _fwd_rule(flat_params, X, activation, tile, bwd_tile, interpret):
 
 def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, res, ct):
     flat_params, X = res
-    # the backward keeps every layer's stacked pre-activations in VMEM for
-    # the rematerialised reverse sweep — use a smaller tile than the forward
     tile = bwd_tile
     Ws, bs = _split_params(flat_params)
     d = X.shape[1]
     n_layers = len(Ws)
     N0 = X.shape[0]
     Xp, N, Np = _pad(X, tile)
+    n_tiles = Np // tile
     if Np != N0:
         ct = jnp.concatenate([ct, jnp.zeros((Np - N0, d + 2), ct.dtype)], 0)
-    # restack the cotangent into the kernel's ((d+2)T, 1) tile layout
-    ct = (
-        ct.reshape(Np // tile, tile, d + 2)
-        .transpose(0, 2, 1)
-        .reshape(Np * (d + 2), 1)
-    )
+    ct = ct.reshape(n_tiles, tile, d + 2).transpose(0, 2, 1)  # (nt, d+2, T)
+    Xt = Xp.reshape(n_tiles, tile, d)
     kernel = functools.partial(_backward_kernel, d, n_layers, tile, activation)
-    in_specs = [pl.BlockSpec((tile, d), lambda i: (i, 0))]
+    in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in Ws]
     in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
-    in_specs += [pl.BlockSpec(((d + 2) * tile, 1), lambda i: (i, 0))]
+    in_specs += [pl.BlockSpec((1, d + 2, tile), lambda i: (i, 0, 0))]
     out_specs = [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in Ws] + [
         pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs
     ]
@@ -278,12 +280,12 @@ def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, res, ct):
     ]
     outs = pl.pallas_call(
         kernel,
-        grid=(Np // tile,),
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(Xp, *Ws, *bs, ct)
+    )(Xt, *Ws, *bs, ct)
     dWs = tuple(outs[:n_layers])
     dbs = tuple(outs[n_layers:])
     return (dWs + dbs, jnp.zeros_like(X))
@@ -297,8 +299,8 @@ def mlp_fwdlap_pallas(
     X,
     activation: str,
     *,
-    tile: int = 512,
-    bwd_tile: int = 256,
+    tile: int = 1024,
+    bwd_tile: int = 512,
     interpret: bool | None = None,
 ):
     """Fused (u, grad u, lap u) via the Pallas kernel.

@@ -64,6 +64,10 @@ class PoissonConfig:
     weights: Optional[Dict[str, float]] = None
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
+    # 'float32' = exact (matmul precision pinned); 'bfloat16' runs the
+    # residual streams in bf16 (~2x faster, measured RMSE ~2x worse at equal
+    # epochs on the 2D headline workload — a fast mode for long sweeps)
+    compute_dtype: str = "float32"
     n_eval: int = 10000
     chunk: int = 1000
 
@@ -192,9 +196,17 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
         def loss_fn(params, key):
             if cfg.method == "PINN":
-                jet = model.fields(params, X_in)
-                pde = pinn_poisson(jet.lap, f_in)
-                u_int = jet.value
+                if cfg.compute_dtype == "bfloat16":
+                    p16 = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), params
+                    )
+                    jet = model.fields(p16, X_in.astype(jnp.bfloat16))
+                    pde = pinn_poisson(jet.lap.astype(jnp.float32), f_in)
+                    u_int = jet.value.astype(jnp.float32)
+                else:
+                    jet = model.fields(params, X_in)
+                    pde = pinn_poisson(jet.lap, f_in)
+                    u_int = jet.value
             else:
                 u_int, g = model.value_and_grad(params, X_in)
                 pde = drm_poisson_energy(u_int, g, f_in)
