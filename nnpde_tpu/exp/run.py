@@ -196,7 +196,8 @@ def run_qho_1d_wan(cfg: QHO1DWanConfig,
 
 # --------------------------------------------------------------------- 2D IPW
 def run_ipw_2d(cfg: IPW2DConfig,
-               save_dir: str = "results/Infinite_Potential_Well_2D") -> Dict:
+               save_dir: str = "results/Infinite_Potential_Well_2D",
+               plot: bool = False) -> Dict:
     t0 = time.time()
     out = train_ipw_2d(cfg)
     elapsed = time.time() - t0
@@ -215,13 +216,22 @@ def run_ipw_2d(cfg: IPW2DConfig,
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_bc": w["bc"], "weight_orth": w["orth"],
     }
-    return _persist(out, save_dir=save_dir, results_file="results_IPW_2D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir, results_file="results_IPW_2D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        from ..pde import ipw as _ipw
+
+        out["plot_path"] = _plot_2d(
+            out, save_dir, tag, lo=0.0, hi=cfg.L,
+            exact=lambda x, y: _ipw.psi_2d(cfg.nx, cfg.ny, x, y, cfg.L),
+        )
+    return out
 
 
 # --------------------------------------------------------------------- 2D QHO
 def run_qho_2d(cfg: QHO2DConfig,
-               save_dir: str = "results/Quantum_Harmonic_Oscillator_2D") -> Dict:
+               save_dir: str = "results/Quantum_Harmonic_Oscillator_2D",
+               plot: bool = False) -> Dict:
     t0 = time.time()
     out = train_qho_2d(cfg)
     elapsed = time.time() - t0
@@ -241,5 +251,38 @@ def run_qho_2d(cfg: QHO2DConfig,
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
         "learned_energy": out["learned_energy"],
     }
-    return _persist(out, save_dir=save_dir, results_file="results_QHO_2D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir, results_file="results_QHO_2D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        from ..pde import qho as _qho
+
+        out["plot_path"] = _plot_2d(
+            out, save_dir, tag, lo=-cfg.L, hi=cfg.L,
+            exact=lambda x, y: _qho.psi_2d(cfg.nx, cfg.ny, x, y),
+        )
+    return out
+
+
+def _plot_2d(out, save_dir, tag, *, lo, hi, exact, n: int = 100):
+    """100x100 quad comparison plot, sign-aligned (QHO_2D.py:539-551)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .plotting import plot_2d_comparison
+
+    model = out["model"]
+    params = out["result"].best_params
+    net_p = params["net"] if isinstance(params, dict) and "net" in params else params
+    g = jnp.linspace(lo, hi, n)
+    GX, GY = jnp.meshgrid(g, g, indexing="ij")
+    pts = jnp.stack([GX.reshape(-1), GY.reshape(-1)], 1)
+    u = np.asarray(jax.jit(model.apply_batch)(net_p, pts)).reshape(n, n)
+    ue = np.asarray(exact(GX, GY))
+    if np.mean((u - ue) ** 2) > np.mean((u + ue) ** 2):
+        u = -u
+    return plot_2d_comparison(
+        np.asarray(GX), np.asarray(GY), u, ue,
+        os.path.join(save_dir, f"pinn_vs_exact_{tag}.png"),
+        title=tag,
+    )

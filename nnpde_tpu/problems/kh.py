@@ -287,7 +287,9 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
             elapsed = time.time() - t0
 
             # dense-grid final L2 (KH_1D.py:550-556)
-            u_dense = res["model"].apply_batch(
+            import jax as _jax
+
+            u_dense = _jax.jit(res["model"].apply_batch)(
                 res["result"].best_params["net"], gt.x.reshape(-1, 1)
             )
             l2_dense = float(sign_aware_mse(u_dense, gt.psi[:, n]))
@@ -321,6 +323,12 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
             }
             if cfg.save_dir:
                 tag = f"KH1D_{method}_n{n}_alpha{cfg.alpha:+.3f}_{timestamp}"
+                from ..exp.plotting import plot_solution_gt
+
+                row["plot_path"] = plot_solution_gt(
+                    gt.x, gt.psi[:, n], u_dense, gt.V, res["E_est"],
+                    method, n, os.path.join(cfg.save_dir, tag + ".png"),
+                )
                 row["model_path"] = save_params(
                     os.path.join(cfg.save_dir, tag + "_best"),
                     res["result"].best_params,

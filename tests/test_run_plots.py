@@ -1,0 +1,28 @@
+"""Runner plot generation: 2D quad plots and KH overlays are emitted."""
+
+import os
+
+from nnpde_tpu.exp.run import run_ipw_2d
+from nnpde_tpu.pde import kh as khphys
+from nnpde_tpu.problems.ipw2d import IPW2DConfig
+from nnpde_tpu.problems.kh import KHCompareConfig, run_compare
+
+
+def test_run_ipw_2d_emits_quad_plot(tmp_path):
+    out = run_ipw_2d(
+        IPW2DConfig(nx=1, ny=1, method="DRM", epochs=20, chunk=20,
+                    grid_n=16, data_grid_n=8, n_boundary=8,
+                    layers=(2, 8, 8, 1)),
+        save_dir=str(tmp_path), plot=True,
+    )
+    assert os.path.exists(out["plot_path"])
+    assert os.path.getsize(out["plot_path"]) > 20_000
+
+
+def test_run_compare_emits_kh_overlay(tmp_path):
+    rows = run_compare(KHCompareConfig(
+        alpha=0.0, L=15.0, n_ref=400, n_max=1, epochs=20,
+        layers=(1, 8, 8, 1), train_n=128, methods=("PINN",),
+        save_dir=str(tmp_path), chunk=20,
+    ))
+    assert os.path.exists(rows[0]["plot_path"])
