@@ -68,6 +68,10 @@ class PoissonConfig:
     # residual streams in bf16 (~2x faster, measured RMSE ~2x worse at equal
     # epochs on the 2D headline workload — a fast mode for long sweeps)
     compute_dtype: str = "float32"
+    # fresh interior sample every epoch (the reference fixes the collocation
+    # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
+    # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
+    resample: bool = False
     n_eval: int = 10000
     chunk: int = 1000
 
@@ -195,21 +199,26 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
     if cfg.method in ("PINN", "DRM"):
 
         def loss_fn(params, key):
+            if cfg.resample:
+                X_cur = uniform_box(jax.random.fold_in(key, 3), cfg.n_interior, box)
+                f_cur = rhs_f(X_cur, cfg.L, ks)
+            else:
+                X_cur, f_cur = X_in, f_in
             if cfg.method == "PINN":
                 if cfg.compute_dtype == "bfloat16":
                     p16 = jax.tree_util.tree_map(
                         lambda x: x.astype(jnp.bfloat16), params
                     )
-                    jet = model.fields(p16, X_in.astype(jnp.bfloat16))
-                    pde = pinn_poisson(jet.lap.astype(jnp.float32), f_in)
+                    jet = model.fields(p16, X_cur.astype(jnp.bfloat16))
+                    pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
                     u_int = jet.value.astype(jnp.float32)
                 else:
-                    jet = model.fields(params, X_in)
-                    pde = pinn_poisson(jet.lap, f_in)
+                    jet = model.fields(params, X_cur)
+                    pde = pinn_poisson(jet.lap, f_cur)
                     u_int = jet.value
             else:
-                u_int, g = model.value_and_grad(params, X_in)
-                pde = drm_poisson_energy(u_int, g, f_in)
+                u_int, g = model.value_and_grad(params, X_cur)
+                pde = drm_poisson_energy(u_int, g, f_cur)
             bc, data, norm, mean_pen = aux_terms(params, key, u_int)
             total = (
                 w["pde"] * pde + w["bc"] * bc + w["data"] * data
