@@ -27,7 +27,6 @@ def main():
     enable_compilation_cache()
 
     import jax
-    import jax.numpy as jnp
     import optax
 
     from nnpde_tpu.losses import pinn_poisson

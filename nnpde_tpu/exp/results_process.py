@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import csv
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from .ledger import load_results
 

@@ -9,7 +9,6 @@ Poisson_ND.py:334-363, QHO_2D.py:502-523).
 
 from __future__ import annotations
 
-import dataclasses
 import datetime
 import os
 import time

@@ -13,7 +13,7 @@ is trivially jit/vmap/shard-able and feeds the fused forward-Laplacian path.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

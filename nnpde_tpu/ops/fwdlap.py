@@ -17,7 +17,7 @@ input-Jacobian, l the (width,) Laplacian accumulator.  The result is exact
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

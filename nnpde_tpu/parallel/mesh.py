@@ -19,7 +19,7 @@ dry-run and the distributed tests to pin down the collective semantics.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

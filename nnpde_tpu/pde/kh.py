@@ -18,8 +18,6 @@ Mirrors ``/root/reference/Schrodinger_Equations/Kramers_Henneberger/KH_1D.py``:
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
-
 import jax.numpy as jnp
 import numpy as np
 

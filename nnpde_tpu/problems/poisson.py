@@ -17,12 +17,10 @@ configuration binding over the unified trainer:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..losses import (
     data_mse,
@@ -37,7 +35,7 @@ from ..ops import bump_w
 from ..pde import poisson as phys
 from ..pde.domain import Box
 from ..sampling import face_points, uniform_box
-from ..train import FitResult, fit, fit_wan, make_optimizer
+from ..train import fit, fit_wan, make_optimizer
 
 
 @dataclasses.dataclass

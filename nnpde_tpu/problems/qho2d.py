@@ -24,7 +24,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..losses.zoo import (
     data_mse,
