@@ -97,7 +97,8 @@ def run_poisson_nd(cfg: PoissonConfig, save_dir: str = "results/ND_Poisson") -> 
 
 # --------------------------------------------------------------------- IPW 1D
 def run_ipw_1d(cfg: IPW1DConfig,
-               save_dir: str = "results/Infinite_Potential_Well_1D") -> Dict:
+               save_dir: str = "results/Infinite_Potential_Well_1D",
+               plot: bool = False) -> Dict:
     t0 = time.time()
     out = train_ipw_1d(cfg)
     elapsed = time.time() - t0
@@ -118,12 +119,23 @@ def run_ipw_1d(cfg: IPW1DConfig,
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
         "layers": list(cfg.layers),
     }
-    return _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        import jax.numpy as jnp
+
+        from ..pde import ipw as _ipw
+
+        out["plot_paths"] = _plot_1d(
+            out, save_dir, tag, lo=0.0, hi=cfg.L,
+            exact=lambda x: _ipw.psi_1d(cfg.n, jnp.asarray(x), cfg.L),
+        )
+    return out
 
 
 def run_ipw_1d_wan(cfg: IPW1DWanConfig,
-                   save_dir: str = "results/Infinite_Potential_Well_1D") -> Dict:
+                   save_dir: str = "results/Infinite_Potential_Well_1D",
+                   plot: bool = False) -> Dict:
     t0 = time.time()
     out = train_ipw_1d_wan(cfg)
     elapsed = time.time() - t0
@@ -143,13 +155,24 @@ def run_ipw_1d_wan(cfg: IPW1DWanConfig,
         "weight_bc": w["bc"], "weight_orth": w["orth"],
         "layers": list(cfg.layers), "v_layers": list(cfg.v_layers),
     }
-    return _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        import jax.numpy as jnp
+
+        from ..pde import ipw as _ipw
+
+        out["plot_paths"] = _plot_1d(
+            out, save_dir, tag, lo=0.0, hi=cfg.L,
+            exact=lambda x: _ipw.psi_1d(cfg.n, jnp.asarray(x), cfg.L),
+        )
+    return out
 
 
 # --------------------------------------------------------------------- QHO 1D
 def run_qho_1d(cfg: QHO1DConfig,
-               save_dir: str = "results/Quantum_Harmonic_Oscillator_1D") -> Dict:
+               save_dir: str = "results/Quantum_Harmonic_Oscillator_1D",
+               plot: bool = False) -> Dict:
     t0 = time.time()
     out = train_qho_1d(cfg)
     elapsed = time.time() - t0
@@ -168,8 +191,18 @@ def run_qho_1d(cfg: QHO1DConfig,
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
     }
-    return _persist(out, save_dir=save_dir, results_file="results_QHO_1D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir, results_file="results_QHO_1D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        import jax.numpy as jnp
+
+        from ..pde import qho as _qho
+
+        out["plot_paths"] = _plot_1d(
+            out, save_dir, tag, lo=-cfg.x_max, hi=cfg.x_max,
+            exact=lambda x: _qho.psi_1d(cfg.n, jnp.asarray(x)),
+        )
+    return out
 
 
 def run_qho_1d_wan(cfg: QHO1DWanConfig,
@@ -260,6 +293,22 @@ def run_qho_2d(cfg: QHO2DConfig,
             exact=lambda x, y: _qho.psi_2d(cfg.nx, cfg.ny, x, y),
         )
     return out
+
+
+def _plot_1d(out, save_dir, tag, *, lo, hi, exact, n: int = 500):
+    """Overlay + loss/L2 curve plots per run (the reference's per-run PNG
+    emission, IPW_1D_WAN.py:298-332)."""
+    import numpy as np
+
+    from .plotting import plot_curves, plot_wavefunction_overlay
+
+    x = np.linspace(lo, hi, n)
+    overlay = plot_wavefunction_overlay(
+        out["checkpoint"], x, np.asarray(exact(x)),
+        os.path.join(save_dir, f"{tag}_solution.png"), title=tag,
+    )
+    curves = plot_curves([out["row"]], os.path.join(save_dir, tag))
+    return [overlay] + curves
 
 
 def _plot_2d(out, save_dir, tag, *, lo, hi, exact, n: int = 100):

@@ -26,3 +26,30 @@ def test_run_compare_emits_kh_overlay(tmp_path):
         save_dir=str(tmp_path), chunk=20,
     ))
     assert os.path.exists(rows[0]["plot_path"])
+
+
+def test_run_ipw_1d_emits_overlay_and_curves(tmp_path):
+    from nnpde_tpu.exp.run import run_ipw_1d
+    from nnpde_tpu.problems.ipw import IPW1DConfig
+
+    out = run_ipw_1d(
+        IPW1DConfig(n=2, method="PINN", technique="FN", epochs=30, chunk=30,
+                    layers=(1, 8, 8, 1)),
+        save_dir=str(tmp_path), plot=True,
+    )
+    assert len(out["plot_paths"]) == 3  # overlay + losses + L2 curves
+    for p in out["plot_paths"]:
+        assert os.path.exists(p), p
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from nnpde_tpu.runtime import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        jax.block_until_ready(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64))))
+    # a trace directory with at least one event file was produced
+    files = [p for p in (tmp_path).rglob("*") if p.is_file()]
+    assert files, "no profiler output written"
