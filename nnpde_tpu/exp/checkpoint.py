@@ -70,8 +70,11 @@ def load_params(path: str) -> Tuple[Any, dict]:
 # -- a minimal JSON-able pytree structure encoding (dict/list/tuple/leaf) ----
 def _treedef_to_spec(tree):
     if isinstance(tree, dict):
-        return {"t": "dict", "k": list(tree.keys()),
-                "c": [_treedef_to_spec(tree[k]) for k in tree.keys()]}
+        # jax flattens dicts in SORTED key order — the spec must match, or
+        # leaves are reassigned to the wrong slots on load
+        keys = sorted(tree.keys())
+        return {"t": "dict", "k": keys,
+                "c": [_treedef_to_spec(tree[k]) for k in keys]}
     if isinstance(tree, (list, tuple)):
         return {"t": "list" if isinstance(tree, list) else "tuple",
                 "c": [_treedef_to_spec(x) for x in tree]}

@@ -219,7 +219,7 @@ def main(argv=None) -> int:
     elif args.cmd == "sweep":
         from . import sweeps
 
-        common = dict(epochs=args.epochs)
+        common = dict(epochs=args.epochs, lr=args.lr, seed=args.seed)
         if args.chunk:
             common["chunk"] = args.chunk
         if args.save_dir:

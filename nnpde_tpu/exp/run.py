@@ -30,7 +30,8 @@ def _stamp() -> str:
 
 
 def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
-             meta: Dict, extra_row: Optional[Dict] = None) -> Dict:
+             meta: Dict, extra_row: Optional[Dict] = None,
+             v_meta: Optional[Dict] = None) -> Dict:
     os.makedirs(save_dir, exist_ok=True)
     result = out["result"]
     hist = out["history"]
@@ -46,11 +47,12 @@ def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
     curves = save_curves(save_dir, tag, curve_dict)
     if result.best_v_params is not None:
         # WAN critic snapshot at the best epoch (reference saves best_v,
-        # Poisson_ND.py:326-328, IPW_1D_WAN.py:237-240)
+        # Poisson_ND.py:326-328, IPW_1D_WAN.py:237-240); the critic has its
+        # own architecture, so its meta must carry v_layers
         save_params(
             os.path.join(save_dir, f"{tag}_best_v"),
             result.best_v_params,
-            meta={**meta, "role": "critic"},
+            meta={**meta, **(v_meta or {}), "role": "critic"},
         )
     row = {
         "tag": tag,
@@ -91,8 +93,11 @@ def run_poisson_nd(cfg: PoissonConfig, save_dir: str = "results/ND_Poisson") -> 
         "final_l2": out["final_l2"], "best_l2": out["best_l2"],
         "time": elapsed,
     }
-    return _persist(out, save_dir=save_dir, results_file="results_poisson_nd.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    return _persist(
+        out, save_dir=save_dir, results_file="results_poisson_nd.json",
+        tag=tag, meta=meta, extra_row=extra,
+        v_meta={"layers": [cfg.dim] + [cfg.critic_width] * (cfg.critic_depth - 1) + [1]},
+    )
 
 
 # --------------------------------------------------------------------- IPW 1D
@@ -156,7 +161,8 @@ def run_ipw_1d_wan(cfg: IPW1DWanConfig,
         "layers": list(cfg.layers), "v_layers": list(cfg.v_layers),
     }
     out = _persist(out, save_dir=save_dir, results_file="results_IPW_1D.json",
-                   tag=tag, meta=meta, extra_row=extra)
+                   tag=tag, meta=meta, extra_row=extra,
+                   v_meta={"layers": list(cfg.v_layers)})
     if plot:
         import jax.numpy as jnp
 
@@ -223,7 +229,8 @@ def run_qho_1d_wan(cfg: QHO1DWanConfig,
         "E_est": out["E_est"], "E_exact": out["E_exact"],
     }
     return _persist(out, save_dir=save_dir, results_file="results_QHO_1D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+                    tag=tag, meta=meta, extra_row=extra,
+                    v_meta={"layers": list(cfg.v_layers)})
 
 
 # --------------------------------------------------------------------- 2D IPW
@@ -249,7 +256,8 @@ def run_ipw_2d(cfg: IPW2DConfig,
         "weight_bc": w["bc"], "weight_orth": w["orth"],
     }
     out = _persist(out, save_dir=save_dir, results_file="results_IPW_2D.json",
-                   tag=tag, meta=meta, extra_row=extra)
+                   tag=tag, meta=meta, extra_row=extra,
+                   v_meta={"layers": list(cfg.v_layers)})
     if plot:
         from ..pde import ipw as _ipw
 
@@ -284,7 +292,8 @@ def run_qho_2d(cfg: QHO2DConfig,
         "learned_energy": out["learned_energy"],
     }
     out = _persist(out, save_dir=save_dir, results_file="results_QHO_2D.json",
-                   tag=tag, meta=meta, extra_row=extra)
+                   tag=tag, meta=meta, extra_row=extra,
+                   v_meta={"layers": list(cfg.v_layers)})
     if plot:
         from ..pde import qho as _qho
 

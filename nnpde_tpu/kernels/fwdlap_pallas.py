@@ -69,6 +69,29 @@ def _act_fns(name: str):
             return (1.0 - t * t) * (6.0 * t * t - 2.0)
 
         return jnp.tanh, s1, s2, s3
+    if name == "gelu":
+        inv_sqrt2pi = 0.3989422804014327
+
+        def pdf(v):
+            return inv_sqrt2pi * jnp.exp(-0.5 * v * v)
+
+        def cdf(v):
+            return 0.5 * (1.0 + jax.scipy.special.erf(
+                v * jnp.asarray(0.7071067811865476, v.dtype)))
+
+        def g(v):
+            return v * cdf(v)
+
+        def d1(v):
+            return cdf(v) + v * pdf(v)
+
+        def d2(v):
+            return 2.0 * pdf(v) - v * v * pdf(v)
+
+        def d3(v):
+            return (v * v * v - 4.0 * v) * pdf(v)
+
+        return g, d1, d2, d3
     raise ValueError(f"Unknown activation {name!r}")
 
 

@@ -68,7 +68,7 @@ def activation_jet(name: str):
     raise ValueError(f"Unknown activation {name!r}")
 
 
-def mlp_fwdlap(params, X, activation: str, *, preferred_dtype=jnp.float32) -> Jet:
+def mlp_fwdlap(params, X, activation: str) -> Jet:
     """Exact (u, grad u, lap u) of a scalar MLP over a collocation batch.
 
     ``params``: sequence of ``(W (in,out), b (out,))`` tuples, activation

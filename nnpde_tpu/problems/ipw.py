@@ -103,13 +103,22 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
     }
 
     def loss_terms(params):
-        jet = model.fields(params, x_grid)
-        u, g = jet.value, jet.grad
+        # compute only the active method's operator: the fused jet (with its
+        # backward) for PINN, the cheaper value+grad for DRM
+        if w["pde"] > 0:
+            jet = model.fields(params, x_grid)
+            u, g = jet.value, jet.grad
+            pde = pinn_helmholtz(u, jet.lap, k_squared)
+            drm = jnp.asarray(0.0)
+        else:
+            u, g = model.value_and_grad(params, x_grid)
+            pde = jnp.asarray(0.0)
+            drm = drm_rayleigh_unscaled(u, g)
         terms = {
             "data": data_mse(model.apply_batch(params, x_data), u_data),
             "norm": norm_pointwise(u),
-            "pde": pinn_helmholtz(u, jet.lap, k_squared),
-            "drm": drm_rayleigh_unscaled(u, g),
+            "pde": pde,
+            "drm": drm,
             "bc": jnp.mean(model.apply_batch(params, x_bc) ** 2),
             "orth": orthogonal_projection(u, lower, L),
         }

@@ -332,8 +332,10 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
                 row["model_path"] = save_params(
                     os.path.join(cfg.save_dir, tag + "_best"),
                     res["result"].best_params,
-                    meta={"layers": list(cfg.layers),
-                          "technique": run_cfg.technique, "n": n},
+                    meta={"problem": "kh_1d", "layers": list(cfg.layers),
+                          "activation": "sin",
+                          "technique": run_cfg.technique, "n": n,
+                          "L": float(cfg.L), "alpha": float(cfg.alpha)},
                 )
                 curve_paths = save_curves(
                     cfg.save_dir, tag,

@@ -123,6 +123,13 @@ def _critic_model(cfg: PoissonConfig) -> SolutionModel:
 def train_poisson_nd(cfg: PoissonConfig) -> Dict:
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be one of {'PINN','DRM','WAN'}")
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError("compute_dtype must be 'float32' or 'bfloat16'")
+    if cfg.compute_dtype == "bfloat16" and cfg.method != "PINN":
+        raise ValueError(
+            "compute_dtype='bfloat16' is currently implemented for the PINN "
+            "residual path only (DRM/WAN would silently run f32)"
+        )
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":

@@ -113,13 +113,21 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
     orth_volume = 4.0 * x_max
 
     def loss_terms(params):
-        jet = model.fields(params, x_grid)
-        u, g = jet.value, jet.grad
+        # compute only the active method's operator (jet for PINN, grad for DRM)
+        if w["pde"] > 0:
+            jet = model.fields(params, x_grid)
+            u, g = jet.value, jet.grad
+            pde = pinn_schrodinger(u, jet.lap, V, E)
+            drm = jnp.asarray(0.0)
+        else:
+            u, g = model.value_and_grad(params, x_grid)
+            pde = jnp.asarray(0.0)
+            drm = drm_rayleigh(u, g, V)
         terms = {
             "data": data_mse(model.apply_batch(params, x_data), u_data),
             "bc": data_mse(model.apply_batch(params, x_bc), jnp.zeros((2,))),
-            "pde": pinn_schrodinger(u, jet.lap, V, E),
-            "drm": drm_rayleigh(u, g, V),
+            "pde": pde,
+            "drm": drm,
             "norm": norm_trapezoid(u, dx),
             "orth": orthogonal_projection(u, lower, orth_volume, eps=0.0)
             if n > 0

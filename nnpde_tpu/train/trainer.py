@@ -46,7 +46,7 @@ class FitResult(NamedTuple):
     v_params: Any = None             # WAN critic final params
     best_v_params: Any = None        # WAN critic at the best epoch
     carry: Any = None                # full train state (resume support)
-    timing: Dict[str, float] = {}    # wall-clock + throughput counters
+    timing: Optional[Dict[str, float]] = None  # wall-clock + throughput
 
 
 def tree_where(pred, a, b):
@@ -63,6 +63,8 @@ def _chunks(total: int, chunk: int):
 
 
 def _stack_history(parts):
+    if not parts:  # epochs=0: template-carry construction for resume
+        return {}
     out = {}
     for k in parts[0]:
         out[k] = np.concatenate([np.asarray(p[k]) for p in parts])
