@@ -119,3 +119,22 @@ def test_cli_poisson(tmp_path, capsys):
     assert rc == 0
     ledger = load_results(str(tmp_path / "results_poisson_nd.json"))
     assert len(ledger) == 1 and ledger[0]["dim"] == 1
+
+
+def test_checkpoint_dict_pytree_leaf_integrity(tmp_path):
+    """Regression: dict pytrees flatten in sorted-key order; the checkpoint
+    spec must match or leaves are silently reassigned (E got a bias vector,
+    the first weight got the energy scalar)."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.exp.checkpoint import load_params, save_params
+
+    params = {
+        "net": [(jnp.arange(6.0).reshape(2, 3), jnp.array([7.0, 8.0, 9.0]))],
+        "E": jnp.asarray(5.0),
+    }
+    path = save_params(str(tmp_path / "p"), params, meta={"k": 1})
+    restored, meta = load_params(path)
+    assert float(restored["E"]) == 5.0
+    np.testing.assert_array_equal(restored["net"][0][0], np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(restored["net"][0][1], [7.0, 8.0, 9.0])
