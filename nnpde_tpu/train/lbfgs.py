@@ -45,7 +45,9 @@ def lbfgs_polish(
         count = optax.tree.get(state, "count")
         grad = optax.tree.get(state, "grad")
         gnorm = optax.global_norm(grad)
-        return (count < max_iter) & (gnorm > tol)
+        # the freshly-initialised state caches a ZERO gradient — the norm
+        # test must not fire before the first real step
+        return (count < max_iter) & ((count == 0) | (gnorm > tol))
 
     init = (params, opt.init(params), jnp.asarray(jnp.inf))
     params, state, value = jax.lax.while_loop(cond, step, init)
