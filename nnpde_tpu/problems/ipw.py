@@ -146,7 +146,8 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         final_m = float(eval_fn(polished, None))
         if final_m < result.best_metric:
             result = result._replace(
-                params=polished, best_params=polished, best_metric=final_m
+                params=polished, best_params=polished, best_metric=final_m,
+                best_epoch=cfg.epochs,   # the polish runs after the last epoch
             )
         else:
             result = result._replace(params=polished)

@@ -69,7 +69,11 @@ class IPW2DConfig:
 
 
 def _lower_states_2d(nx: int, ny: int, X, L: float):
-    """Degeneracy-aware lower states: (i, j) with i^2+j^2 < nx^2+ny^2."""
+    """Degeneracy-aware lower states: (i, j) with i^2+j^2 < nx^2+ny^2.
+
+    Faithful to IPW_2D.py:112-124 INCLUDING its loop bound max(nx,ny): lower
+    states with a quantum number above max(nx,ny) (e.g. (4,1) below (3,3))
+    are not penalised by the reference either."""
     cols = []
     for i in range(1, max(nx, ny) + 1):
         for j in range(1, max(nx, ny) + 1):
@@ -231,7 +235,13 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs), v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
+            u_optimizer=make_optimizer(
+                cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
+            ),
+            v_optimizer=make_optimizer(
+                cfg.lr, schedule=cfg.lr_schedule,
+                total_steps=cfg.epochs * cfg.v_steps,
+            ),
             key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
         )
     else:
@@ -246,7 +256,8 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             final_m = float(eval_fn(polished, None))
             if final_m < result.best_metric:
                 result = result._replace(
-                    params=polished, best_params=polished, best_metric=final_m
+                    params=polished, best_params=polished, best_metric=final_m,
+                    best_epoch=cfg.epochs,   # the polish runs after the last epoch
                 )
             else:
                 result = result._replace(params=polished)

@@ -35,9 +35,9 @@ import numpy as np
 import optax
 
 from ..exp import append_result, save_curves, save_params
-from ..losses.zoo import data_mse
+from ..losses.zoo import data_mse, norm_integral, orthogonal_projection
 from ..models import NetSpec, SolutionModel, factor_for_technique
-from ..ops.quadrature import sign_aware_mse
+from ..ops.quadrature import integral_mean, sign_aware_mse
 from ..pde import kh as phys
 from ..train import fit, fit_wan
 
@@ -70,10 +70,6 @@ def _u_model(cfg: KHConfig, L: float) -> SolutionModel:
     technique = "RAW" if cfg.method == "WAN" else cfg.technique
     factor = factor_for_technique(technique, dim=1, kind="window", L=L)
     return SolutionModel(NetSpec(tuple(cfg.layers), activation="sin"), factor)
-
-
-def _integral_mean(f, L):
-    return (2.0 * L) * jnp.mean(f)
 
 
 def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
@@ -111,9 +107,9 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
     def orth_term(u):
         if n == 0:
             return jnp.asarray(0.0)
-        ip = (2.0 * L) * jnp.mean(u[:, None] * lower, axis=0)
-        den = (2.0 * L) * jnp.mean(lower**2, axis=0) + 1e-12
-        return jnp.sum(ip**2 / den)
+        # KH uses eps=1e-12 in the projection denominators (KH_1D.py:279),
+        # unlike the analytic-state presets' 1e-8
+        return orthogonal_projection(u, lower, 2.0 * L, eps=1e-12)
 
     def common_terms(net_p, u):
         data = data_mse(u[idx_data], psi_data) if cfg.lambda_data != 0 else jnp.asarray(0.0)
@@ -142,12 +138,12 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
                 E_tracked = params["E"]
             else:
                 u, g = model.value_and_grad(net_p, X)
-                num = _integral_mean(0.5 * g[:, 0] ** 2 + V_train * u**2, L)
-                den = _integral_mean(u**2, L) + 1e-12
+                num = integral_mean(0.5 * g[:, 0] ** 2 + V_train * u**2, 2.0 * L)
+                den = integral_mean(u**2, 2.0 * L) + 1e-12
                 core = num / den
                 E_tracked = jax.lax.stop_gradient(core)
             data, orth, bc, parity = common_terms(net_p, u)
-            norm_pen = (_integral_mean(u**2, L) - 1.0) ** 2
+            norm_pen = norm_integral(u, 2.0 * L)
             total = (
                 cfg.lambda_pde * core + cfg.lambda_data * data
                 + cfg.lambda_orth * orth + cfg.lambda_norm * norm_pen
@@ -176,10 +172,12 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             wv, dwv = bump_w(X, -L, L)
             phi = wv * v
             gphi = dwv[:, 0] * v + wv * gv[:, 0]
-            I_kin_pot = _integral_mean(0.5 * gu[:, 0] * gphi + V_train * u * phi, L)
-            I_u_phi = _integral_mean(u * phi, L)
+            I_kin_pot = integral_mean(
+                0.5 * gu[:, 0] * gphi + V_train * u * phi, 2.0 * L
+            )
+            I_u_phi = integral_mean(u * phi, 2.0 * L)
             I_full = I_kin_pot - params["E"] * I_u_phi
-            norm_phi = _integral_mean(phi**2, L) + 1e-12
+            norm_phi = integral_mean(phi**2, 2.0 * L) + 1e-12
             pde = (I_full / norm_phi) ** 2      # ratio-squared (KH_1D.py:267)
             return pde, u
 
@@ -189,7 +187,7 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
 
         def u_loss_fn(u_params, v_params, key):
             pde, u = wan_pde(u_params, v_params)
-            norm_u = (_integral_mean(u**2, L) - 1.0) ** 2
+            norm_u = norm_integral(u, 2.0 * L)
             data, orth, bc, parity = common_terms(u_params["net"], u)
             total = (
                 cfg.lambda_pde * pde + cfg.lambda_norm * norm_u

@@ -104,6 +104,12 @@ def _solution_model(cfg: PoissonConfig) -> SolutionModel:
         )
     if cfg.bc_type not in ("dirichlet", "neumann"):
         raise ValueError("bc_type must be 'dirichlet' or 'neumann'")
+    if cfg.bc_type == "neumann" and cfg.solution != "cos":
+        raise ValueError(
+            "Neumann BCs require the zero-Neumann manufactured family: "
+            "pass solution='cos' (the prod-sin family has nonzero boundary "
+            "gradients and nonzero mean)"
+        )
     return SolutionModel(NetSpec(layers, activation="sin"), factor)
 
 
@@ -278,7 +284,11 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.critic_steps,
-            u_optimizer=optimizer, v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
+            u_optimizer=optimizer,
+            v_optimizer=make_optimizer(
+                cfg.lr, schedule=cfg.lr_schedule,
+                total_steps=cfg.epochs * cfg.critic_steps,
+            ),
             key=k_train, chunk=min(cfg.chunk, 500),
         )
 
@@ -290,7 +300,8 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         "model": model,
         "result": result,
         "history": result.history,
-        "final_l2": float(result.history["l2"][-1]),
+        "final_l2": (float(result.history["l2"][-1])
+                     if "l2" in result.history else None),
         "best_l2": result.best_metric,
         "rel_l2": result.best_metric / rms_exact,
         "best_epoch": result.best_epoch,

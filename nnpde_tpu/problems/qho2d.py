@@ -80,7 +80,11 @@ def _factor(technique: str, nx: int, ny: int, L: float):
 
 
 def _lower_states_2d(nx: int, ny: int, X):
-    """(i, j) with i + j + 1 < nx + ny + 1 (QHO_2D.py:227-239)."""
+    """(i, j) with i + j + 1 < nx + ny + 1 (QHO_2D.py:227-239).
+
+    Faithful to the reference INCLUDING its loop bound max(nx,ny)+1: lower
+    states with one index above max(nx,ny) (e.g. (3,0) below (2,2)) are not
+    penalised by the reference either."""
     cols = []
     for i in range(max(nx, ny) + 1):
         for j in range(max(nx, ny) + 1):
@@ -224,7 +228,8 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             fm = float(eval_fn(polished, None))
             if fm < result.best_metric:
                 result = result._replace(
-                    params=polished, best_params=polished, best_metric=fm
+                    params=polished, best_params=polished, best_metric=fm,
+                    best_epoch=cfg.epochs,   # the polish runs after the last epoch
                 )
             else:
                 result = result._replace(params=polished)
@@ -272,7 +277,13 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs), v_optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
+            u_optimizer=make_optimizer(
+                cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
+            ),
+            v_optimizer=make_optimizer(
+                cfg.lr, schedule=cfg.lr_schedule,
+                total_steps=cfg.epochs * cfg.v_steps,
+            ),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
         )
         learned_E = E_exact

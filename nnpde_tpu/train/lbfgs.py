@@ -50,5 +50,9 @@ def lbfgs_polish(
         return (count < max_iter) & ((count == 0) | (gnorm > tol))
 
     init = (params, opt.init(params), jnp.asarray(jnp.inf))
-    params, state, value = jax.lax.while_loop(cond, step, init)
+    params, state, _ = jax.lax.while_loop(cond, step, init)
+    # report the loss AT the returned iterate (the loop's carried value is
+    # evaluated at the pre-update parameters)
+    with jax.default_matmul_precision("highest"):
+        value = loss_fn(params)
     return params, value

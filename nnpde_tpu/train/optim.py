@@ -19,21 +19,23 @@ def make_optimizer(
     final_scale: float = 0.01,
     warmup: int = 0,
 ) -> optax.GradientTransformation:
-    """schedule in {constant, cosine, exponential}."""
+    """schedule in {constant, cosine, exponential}; warmup (if any) applies
+    uniformly as a linear ramp before the named schedule."""
     if schedule == "constant":
-        sched = lr
+        sched = optax.constant_schedule(lr)
     elif schedule == "cosine":
         sched = optax.cosine_decay_schedule(
             lr, decay_steps=max(total_steps - warmup, 1), alpha=final_scale
         )
-        if warmup > 0:
-            sched = optax.join_schedules(
-                [optax.linear_schedule(0.0, lr, warmup), sched], [warmup]
-            )
     elif schedule == "exponential":
         sched = optax.exponential_decay(
-            lr, transition_steps=max(total_steps, 1), decay_rate=final_scale
+            lr, transition_steps=max(total_steps - warmup, 1),
+            decay_rate=final_scale,
         )
     else:
         raise ValueError(f"Unknown lr schedule {schedule!r}")
+    if warmup > 0:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup), sched], [warmup]
+        )
     return optax.adam(sched)

@@ -26,7 +26,6 @@ degrades second derivatives; all training/eval math runs under
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -55,11 +54,39 @@ def tree_where(pred, a, b):
 
 
 def _chunks(total: int, chunk: int):
+    if total > 0 and chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     done = 0
     while done < total:
         n = min(chunk, total - done)
         yield done, n
         done += n
+
+
+def _run_chunks(scan_chunk, carry, *, epochs, chunk, start_epoch, key,
+                progress):
+    """Shared chunked driver for fit/fit_wan: per-epoch key fan-out, scan
+    dispatch, history collection, progress callbacks, wall-clock timing."""
+    import time as _time
+
+    parts = []
+    t0 = _time.time()
+    for start, n in _chunks(epochs, chunk):
+        start = start + start_epoch
+        ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(start, start + n)
+        )
+        carry, hist = scan_chunk(carry, (jnp.arange(start, start + n), ks))
+        parts.append(hist)
+        if progress is not None:
+            progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
+    jax.block_until_ready(carry)
+    elapsed = _time.time() - t0
+    timing = {
+        "elapsed_s": elapsed,
+        "steps_per_s": epochs / elapsed if elapsed > 0 else float("nan"),
+    }
+    return carry, _stack_history(parts), timing
 
 
 def _stack_history(parts):
@@ -118,33 +145,19 @@ def fit(
         params,
         jnp.asarray(-1, jnp.int32),
     )
-    parts = []
-    import time as _time
-
-    t0 = _time.time()
-    for start, n in _chunks(epochs, chunk):
-        start = start + start_epoch
-        ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(start, start + n)
-        )
-        carry, hist = scan_chunk(carry, (jnp.arange(start, start + n), ks))
-        parts.append(hist)
-        if progress is not None:
-            progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
-    jax.block_until_ready(carry)
-    elapsed = _time.time() - t0
+    carry, history, timing = _run_chunks(
+        scan_chunk, carry, epochs=epochs, chunk=chunk,
+        start_epoch=start_epoch, key=key, progress=progress,
+    )
     params, _, best_m, best_p, best_e = carry
     return FitResult(
         params=params,
         best_params=best_p,
         best_metric=float(best_m),
         best_epoch=int(best_e),
-        history=_stack_history(parts),
+        history=history,
         carry=carry,
-        timing={
-            "elapsed_s": elapsed,
-            "steps_per_s": epochs / elapsed if elapsed > 0 else float("nan"),
-        },
+        timing=timing,
     )
 
 
@@ -217,33 +230,19 @@ def fit_wan(
         jnp.asarray(jnp.inf, jnp.float32), u_params, v_params,
         jnp.asarray(-1, jnp.int32),
     )
-    parts = []
-    import time as _time
-
-    t0 = _time.time()
-    for start, n in _chunks(epochs, chunk):
-        start = start + start_epoch
-        ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(start, start + n)
-        )
-        carry, hist = scan_chunk(carry, (jnp.arange(start, start + n), ks))
-        parts.append(hist)
-        if progress is not None:
-            progress(start + n, {k: float(v[-1]) for k, v in hist.items()})
-    jax.block_until_ready(carry)
-    elapsed = _time.time() - t0
+    carry, history, timing = _run_chunks(
+        scan_chunk, carry, epochs=epochs, chunk=chunk,
+        start_epoch=start_epoch, key=key, progress=progress,
+    )
     u_params, v_params, _, _, best_m, best_up, best_vp, best_e = carry
     return FitResult(
         params=u_params,
         best_params=best_up,
         best_metric=float(best_m),
         best_epoch=int(best_e),
-        history=_stack_history(parts),
+        history=history,
         v_params=v_params,
         best_v_params=best_vp,
         carry=carry,
-        timing={
-            "elapsed_s": elapsed,
-            "steps_per_s": epochs / elapsed if elapsed > 0 else float("nan"),
-        },
+        timing=timing,
     )
