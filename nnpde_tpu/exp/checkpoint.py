@@ -78,18 +78,25 @@ def _treedef_to_spec(tree):
     if isinstance(tree, (list, tuple)):
         return {"t": "list" if isinstance(tree, list) else "tuple",
                 "c": [_treedef_to_spec(x) for x in tree]}
+    if tree is None:
+        # jax treats None as an empty pytree (0 leaves), not a leaf
+        return {"t": "none"}
     return {"t": "leaf"}
 
 
 def _count_leaves(spec) -> int:
     if spec["t"] == "leaf":
         return 1
+    if spec["t"] == "none":
+        return 0
     return sum(_count_leaves(c) for c in spec["c"])
 
 
 def _unflatten_spec(spec, it):
     if spec["t"] == "leaf":
         return next(it)
+    if spec["t"] == "none":
+        return None
     children = [_unflatten_spec(c, it) for c in spec["c"]]
     if spec["t"] == "dict":
         return dict(zip(spec["k"], children))

@@ -245,7 +245,6 @@ def main(argv=None) -> int:
     elif args.cmd == "kh":
         from ..problems.kh import KHCompareConfig, run_compare
 
-        kw.pop("seed", None)
         cfg = KHCompareConfig(
             alpha=args.alpha, L=args.L, n_ref=args.n_ref, n_max=args.n_max,
             train_n=args.train_n, methods=tuple(args.methods),

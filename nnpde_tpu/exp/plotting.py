@@ -72,10 +72,16 @@ def plot_curves(
     ylabels = {"losses": "Loss", "L2_errors": "L2 Error"}
     for key in metric_keys:
         fig, ax = plt.subplots()
+        any_negative = False
         for idx, e in enumerate(entries):
             curve = np.load(e[key])
-            ax.semilogy(np.arange(len(curve)), np.abs(curve) + 1e-20,
-                        label=label_fn(e), color=COLORS[idx % len(COLORS)])
+            if (curve <= 0).any():
+                any_negative = True
+            ax.plot(np.arange(len(curve)), curve,
+                    label=label_fn(e), color=COLORS[idx % len(COLORS)])
+        # semilog for positive curves (the reference style); symlog when a
+        # metric legitimately crosses zero (e.g. the Deep-Ritz energy)
+        ax.set_yscale("symlog" if any_negative else "log")
         ax.set_xlabel("Epochs")
         ax.set_ylabel(ylabels.get(key, key))
         ax.set_title(titles.get(key, key))

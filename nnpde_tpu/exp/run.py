@@ -56,8 +56,10 @@ def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
         )
     row = {
         "tag": tag,
-        "L2_error": float(np.min(hist["l2"])),
-        "min_epoch": int(np.argmin(hist["l2"])),
+        # result.best_* are polish-aware (an improving L-BFGS step replaces
+        # them); the raw history min would disagree with the saved checkpoint
+        "L2_error": float(result.best_metric),
+        "min_epoch": int(result.best_epoch),
         "best_model_path": ckpt,
         "losses": curves["losses"],
         "L2_errors": curves["L2_errors"],
@@ -145,10 +147,16 @@ def run_ipw_1d_wan(cfg: IPW1DWanConfig,
     out = train_ipw_1d_wan(cfg)
     elapsed = time.time() - t0
     ts = _stamp()
-    tag = f"WAN_n{cfg.n}_{cfg.technique}_{ts}"
+    # fn_variant forces the FN trial regardless of cfg.technique — the meta
+    # must record the factor actually trained or the registry rebuilds the
+    # wrong model
+    eff_technique = (
+        "FN" if (cfg.fn_variant or cfg.technique == "FN") else cfg.technique
+    )
+    tag = f"WAN_n{cfg.n}_{eff_technique}_{ts}"
     meta = {
         "problem": "ipw_1d_wan", "timestamp": ts, "layers": list(cfg.layers),
-        "activation": "tanh", "technique": cfg.technique, "n": cfg.n,
+        "activation": "tanh", "technique": eff_technique, "n": cfg.n,
         "L": cfg.L,
     }
     w = out["weights"]

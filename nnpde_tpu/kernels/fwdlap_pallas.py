@@ -46,53 +46,31 @@ def pallas_available() -> bool:
 
 # ---------------------------------------------------------------- activations
 def _act_fns(name: str):
-    """(sigma, sigma', sigma'', sigma''')."""
+    """(sigma, sigma', sigma'', sigma''').
+
+    The first three derivatives are shared with the XLA jet path
+    (:func:`nnpde_tpu.ops.fwdlap.activation_jet`) so the two backends cannot
+    drift; only the third derivative (needed by the recompute backward) is
+    defined locally.
+    """
+    from ..ops.fwdlap import activation_jet
+
+    s, s1, s2 = activation_jet(name)
     if name == "sin":
-        return (
-            jnp.sin,
-            jnp.cos,
-            lambda v: -jnp.sin(v),
-            lambda v: -jnp.cos(v),
-        )
-    if name == "tanh":
-
-        def s1(v):
-            t = jnp.tanh(v)
-            return 1.0 - t * t
-
-        def s2(v):
-            t = jnp.tanh(v)
-            return -2.0 * t * (1.0 - t * t)
-
+        def s3(v):
+            return -jnp.cos(v)
+    elif name == "tanh":
         def s3(v):
             t = jnp.tanh(v)
             return (1.0 - t * t) * (6.0 * t * t - 2.0)
-
-        return jnp.tanh, s1, s2, s3
-    if name == "gelu":
+    elif name == "gelu":
         inv_sqrt2pi = 0.3989422804014327
 
-        def pdf(v):
-            return inv_sqrt2pi * jnp.exp(-0.5 * v * v)
-
-        def cdf(v):
-            return 0.5 * (1.0 + jax.scipy.special.erf(
-                v * jnp.asarray(0.7071067811865476, v.dtype)))
-
-        def g(v):
-            return v * cdf(v)
-
-        def d1(v):
-            return cdf(v) + v * pdf(v)
-
-        def d2(v):
-            return 2.0 * pdf(v) - v * v * pdf(v)
-
-        def d3(v):
-            return (v * v * v - 4.0 * v) * pdf(v)
-
-        return g, d1, d2, d3
-    raise ValueError(f"Unknown activation {name!r}")
+        def s3(v):
+            return (v * v * v - 4.0 * v) * inv_sqrt2pi * jnp.exp(-0.5 * v * v)
+    else:  # pragma: no cover - activation_jet already raised
+        raise ValueError(f"Unknown activation {name!r}")
+    return s, s1, s2, s3
 
 
 def _dot(a, b, precision=jax.lax.Precision.HIGHEST):

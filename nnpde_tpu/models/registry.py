@@ -19,12 +19,40 @@ from .trial import factor_for_technique
 
 
 def build_solution_model(meta: Dict) -> SolutionModel:
-    """meta schema: {problem, layers, activation, technique, n|nx/ny, L|x_max}."""
+    """meta schema: {problem, layers, activation, technique, n|nx/ny,
+    L|x_max, role?}.  ``role='critic'`` rebuilds the WAN critic with the
+    critic's factor rules (which differ from the primal's)."""
     problem = meta["problem"]
     layers = tuple(meta["layers"])
     activation = meta.get("activation", "tanh")
     technique = meta.get("technique", "RAW")
     spec = NetSpec(layers, activation=activation)
+
+    if meta.get("role") == "critic":
+        # critic factor rules per problem:
+        #   poisson / ipw_1d / kh: raw critic (no factor)
+        #   qho_1d_wan: same exp window as the primal when technique != BC
+        #   ipw_2d / qho_2d: always the FBC factor
+        if problem in ("poisson_nd", "ipw_1d", "ipw_1d_wan", "kh_1d"):
+            return SolutionModel(spec)
+        if problem in ("qho_1d", "qho_1d_wan"):
+            factor = (
+                factor_for_technique("OG", dim=1, kind="window",
+                                     L=meta["x_max"])
+                if technique != "BC" else None
+            )
+            return SolutionModel(spec, factor)
+        if problem == "ipw_2d":
+            return SolutionModel(
+                spec, factor_for_technique("FBC", dim=2, kind="box",
+                                           L=meta["L"])
+            )
+        if problem == "qho_2d":
+            return SolutionModel(
+                spec, factor_for_technique("FBC", dim=2, kind="window",
+                                           L=meta["L"])
+            )
+        raise ValueError(f"Unknown critic problem {problem!r}")
 
     if problem in ("poisson_nd",):
         dim = layers[0]

@@ -135,20 +135,13 @@ class SeparableFactor:
             vals.append(v)
             d1s.append(d1)
             d2s.append(d2)
+        from ..ops.fwdlap import exclusive_products
+
         F = jnp.stack(vals, axis=-1)    # (N, d)
         F1 = jnp.stack(d1s, axis=-1)
         F2 = jnp.stack(d2s, axis=-1)
-        N, d = F.shape
-        ones = jnp.ones((N, 1), F.dtype)
-        pre = jnp.concatenate([ones, jnp.cumprod(F[:, :-1], axis=1)], axis=1)
-        if d > 1:
-            suf = jnp.concatenate(
-                [jnp.cumprod(F[:, :0:-1], axis=1)[:, ::-1], ones], axis=1
-            )
-        else:
-            suf = ones
-        excl = pre * suf                # (N, d): prod_{i != j} F_i
-        value = excl[:, 0] * F[:, 0] if d else jnp.ones((N,), F.dtype)
+        excl = exclusive_products(F)    # (N, d): prod_{i != j} F_i
+        value = excl[:, 0] * F[:, 0]
         grad = F1 * excl
         lap = jnp.sum(F2 * excl, axis=1)
         return Jet(value=value, grad=grad, lap=lap)

@@ -58,12 +58,7 @@ def bump_w(X, lo, hi):
     dw1 = dw1 / h                            # chain rule to d/dx
     w = jnp.prod(w1, axis=1)
     # exclusive products for the gradient (safe at interior zeros)
-    N, d = w1.shape
-    ones = jnp.ones((N, 1), w1.dtype)
-    pre = jnp.concatenate([ones, jnp.cumprod(w1[:, :-1], axis=1)], axis=1)
-    suf = jnp.concatenate(
-        [jnp.cumprod(w1[:, :0:-1], axis=1)[:, ::-1], ones], axis=1
-    )
-    excl = pre * suf
-    dw = dw1 * excl
+    from .fwdlap import exclusive_products
+
+    dw = dw1 * exclusive_products(w1)
     return w, dw

@@ -105,6 +105,22 @@ def compose_product_jet(a: Jet, b: Jet) -> Jet:
     return Jet(value=value, grad=grad, lap=lap)
 
 
+def exclusive_products(F: jnp.ndarray) -> jnp.ndarray:
+    """``out[:, j] = prod_{i != j} F[:, i]`` by prefix/suffix cumprods —
+    division-free, so exact when factors vanish (forced-node trials, bump
+    supports).  F: (N, d)."""
+    N, d = F.shape
+    ones = jnp.ones((N, 1), F.dtype)
+    pre = jnp.concatenate([ones, jnp.cumprod(F[:, :-1], axis=1)], axis=1)
+    if d > 1:
+        suf = jnp.concatenate(
+            [jnp.cumprod(F[:, :0:-1], axis=1)[:, ::-1], ones], axis=1
+        )
+    else:
+        suf = ones
+    return pre * suf
+
+
 def constant_jet(value: jnp.ndarray, d: int) -> Jet:
     """Jet of a constant field (zero derivatives)."""
     N = value.shape[0]
