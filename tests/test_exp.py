@@ -138,3 +138,40 @@ def test_checkpoint_dict_pytree_leaf_integrity(tmp_path):
     assert float(restored["E"]) == 5.0
     np.testing.assert_array_equal(restored["net"][0][0], np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(restored["net"][0][1], [7.0, 8.0, 9.0])
+
+
+def test_critic_checkpoint_rebuilds_critic_architecture(tmp_path):
+    """WAN critic checkpoints must rebuild with the critic's factor rules
+    and v_layers, not the primal's."""
+    import glob
+
+    from nnpde_tpu.exp.run import run_ipw_1d_wan
+    from nnpde_tpu.problems.ipw import IPW1DWanConfig
+
+    out = run_ipw_1d_wan(
+        IPW1DWanConfig(n=2, technique="FN", epochs=10, chunk=10,
+                       layers=(1, 16, 1), v_layers=(1, 8, 1), v_steps=1),
+        save_dir=str(tmp_path),
+    )
+    # primal meta must record FN (the trial actually trained)
+    model, params, meta = load_checkpoint_model(out["checkpoint"])
+    assert meta["technique"] == "FN"
+    vckpts = glob.glob(str(tmp_path / "*_best_v.npz"))
+    assert len(vckpts) == 1
+    v_model, v_params, v_meta = load_checkpoint_model(vckpts[0])
+    assert v_meta["role"] == "critic"
+    assert v_meta["layers"] == [1, 8, 1]
+    # ipw_1d critic is raw: no trial factor, evaluable anywhere
+    assert v_model.factor is None
+    v = v_model.apply_batch(v_params, jnp.array([[0.5]]))
+    assert np.isfinite(float(v[0]))
+
+
+def test_checkpoint_none_pytree_node(tmp_path):
+    from nnpde_tpu.exp.checkpoint import load_params, save_params
+
+    params = {"net": [(jnp.ones((2, 2)), jnp.zeros(2))], "extra": None}
+    path = save_params(str(tmp_path / "p"), params)
+    restored, _ = load_params(path)
+    assert restored["extra"] is None
+    np.testing.assert_array_equal(restored["net"][0][0], np.ones((2, 2)))
