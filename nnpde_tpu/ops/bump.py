@@ -62,3 +62,45 @@ def bump_w(X, lo, hi):
 
     dw = dw1 * exclusive_products(w1)
     return w, dw
+
+
+def bump_grid(lo: float, hi: float, d: int, k: int, overlap: float = 0.5):
+    """Centres and half-widths of a k^d grid of localised bumps on the box
+    [lo, hi]^d with fractional overlap between neighbours.
+
+    Returns ``(centers (k^d, d), half_width scalar)``.  Used by the
+    multi-test-function WAN (a framework extension beyond the reference's
+    single global bump — one weak residual per localised test function).
+    """
+    import itertools
+
+    cell = (hi - lo) / k
+    h = cell * (1.0 + overlap) / 2.0
+    marks = [lo + cell * (i + 0.5) for i in range(k)]
+    centers = jnp.asarray(list(itertools.product(marks, repeat=d)),
+                          jnp.float32)
+    return centers, float(h)
+
+
+def bump_w_multi(X, centers, half_width: float):
+    """Localised bumps: ``w (K, N)``, ``dw (K, N, d)`` for K centres.
+
+    Each bump is the product 1D bump on ``|x - c| < half_width`` per
+    dimension (same profile as :func:`bump_w`, translated and scaled).
+    """
+    import jax
+
+    from .fwdlap import exclusive_products
+
+    X = jnp.atleast_2d(X)
+
+    def one_center(c):
+        t = (X - c[None, :]) / half_width
+        w1, dw1, _ = bump_w_1d_jet(t)
+        dw1 = dw1 / half_width
+        w = jnp.prod(w1, axis=1)
+        dw = dw1 * exclusive_products(w1)
+        return w, dw
+
+    w, dw = jax.vmap(one_center)(centers)
+    return w, dw

@@ -55,6 +55,10 @@ class IPW2DConfig:
     layers: Tuple[int, ...] = (2, 50, 50, 50, 50, 1)
     v_layers: Tuple[int, ...] = (2, 20, 20, 20, 1)
     v_steps: int = 5
+    # >1 enables multi-test-function WAN: an n x n grid of localised bumps,
+    # one weak residual per bump (framework extension — the reference's
+    # single global bump yields rank-1 gradient information per step)
+    n_test_grid: int = 1
     grid_n: int = 200
     data_grid_n: int = 50
     n_boundary: int = 200
@@ -211,11 +215,29 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             factor_for_technique("FBC", dim=2, kind="box", L=L),
         )
         v_params = v_model.init(jax.random.fold_in(key, 9))
-        wv_const, dwv_const = bump_w(X, 0.0, L)
+        if cfg.n_test_grid > 1:
+            from ..ops import bump_grid, bump_w_multi
+
+            centers, hw = bump_grid(0.0, L, 2, cfg.n_test_grid)
+            wv_multi, dwv_multi = bump_w_multi(X, centers, hw)  # (K,N),(K,N,2)
+        else:
+            wv_const, dwv_const = bump_w(X, 0.0, L)
 
         def wan_pde(u_params, v_params):
             u, gu = model.value_and_grad(u_params, X)
             v, gv = v_model.value_and_grad(v_params, X)
+            if cfg.n_test_grid > 1:
+                # one weak residual per localised test function phi_k = w_k v
+                phi = wv_multi * v[None, :]                       # (K, N)
+                gphi = (dwv_multi * v[None, :, None]
+                        + wv_multi[:, :, None] * gv[None, :, :])  # (K, N, 2)
+                integrand = (
+                    0.5 * jnp.sum(gu[None] * gphi, axis=-1)
+                    - E * u[None, :] * phi
+                )
+                weak_k = jnp.mean(integrand, axis=1)              # (K,)
+                norm_k = jnp.mean(phi**2, axis=1)                 # (K,)
+                return jnp.mean(weak_k**2 / (norm_k + 1e-8)), u
             phi = wv_const * v
             gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
             weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
