@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--depth", type=int, default=5)
     p.add_argument("--critic-steps", type=int, default=5)
+    p.add_argument("--bc-type", choices=["dirichlet", "neumann"],
+                   default="dirichlet")
+    p.add_argument("--solution", choices=["sin", "cos"], default="sin")
+    p.add_argument("--resample", action="store_true",
+                   help="fresh interior sample every epoch")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine",
+                                             "exponential"],
+                   default="constant")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32")
     _add_common(p, epochs=10000)
 
     p = sub.add_parser("ipw1d", help="1D infinite well eigenstates (PINN/DRM)")
@@ -81,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid-n", type=int, default=200)
     p.add_argument("--v-layers", type=_int_list, default=[2, 20, 20, 20, 1])
     p.add_argument("--v-steps", type=int, default=5)
+    p.add_argument("--n-test-grid", type=int, default=1,
+                   help="k>1: multi-test-function WAN with a k x k bump grid")
     p.add_argument("--lbfgs", action="store_true")
     p.add_argument("--weights", type=json.loads, default=None,
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
@@ -156,7 +168,10 @@ def main(argv=None) -> int:
 
         cfg = PoissonConfig(
             dim=args.dim, L=args.L, ks=args.ks, method=args.method,
-            bc_mode=args.bc_mode, n_interior=args.n_interior,
+            bc_mode=args.bc_mode, bc_type=args.bc_type,
+            solution=args.solution, resample=args.resample,
+            lr_schedule=args.lr_schedule, compute_dtype=args.compute_dtype,
+            n_interior=args.n_interior,
             n_boundary=args.n_boundary, n_data=args.n_data,
             width=args.width, depth=args.depth, critic_steps=args.critic_steps,
             **kw,
@@ -186,6 +201,7 @@ def main(argv=None) -> int:
         cfg = IPW2DConfig(nx=args.nx, ny=args.ny, L=args.L, method=args.method,
                           technique=args.technique, grid_n=args.grid_n,
                           v_layers=tuple(args.v_layers), v_steps=args.v_steps,
+                          n_test_grid=args.n_test_grid,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
     elif args.cmd == "qho1d":
