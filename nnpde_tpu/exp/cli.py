@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--v-steps", type=int, default=5)
     p.add_argument("--n-test-grid", type=int, default=1,
                    help="k>1: multi-test-function WAN with a k x k bump grid")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine",
+                                             "exponential"],
+                   default="constant")
     p.add_argument("--lbfgs", action="store_true")
     p.add_argument("--weights", type=json.loads, default=None,
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
@@ -126,6 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trainable-energy", action="store_true")
     p.add_argument("--energy-variant", action="store_true",
                    help="use the QHO_2D_Energy paper weight table")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine",
+                                             "exponential"],
+                   default="constant")
     p.add_argument("--lbfgs", action="store_true")
     _add_common(p, epochs=10000)
 
@@ -202,6 +208,7 @@ def main(argv=None) -> int:
                           technique=args.technique, grid_n=args.grid_n,
                           v_layers=tuple(args.v_layers), v_steps=args.v_steps,
                           n_test_grid=args.n_test_grid,
+                          lr_schedule=args.lr_schedule,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
     elif args.cmd == "qho1d":
@@ -230,6 +237,7 @@ def main(argv=None) -> int:
                           technique=args.technique, grid_n=args.grid_n,
                           trainable_energy=args.trainable_energy,
                           energy_variant=args.energy_variant,
+                          lr_schedule=args.lr_schedule,
                           LBFGS=args.lbfgs, **kw)
         out = run_qho_2d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_2D"))
     elif args.cmd == "sweep":
