@@ -21,6 +21,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses import (
     data_mse,
@@ -64,8 +65,11 @@ class PoissonConfig:
     lr_schedule: str = "constant"   # constant | cosine | exponential
     # 'float32' = exact (matmul precision pinned); 'bfloat16' runs the
     # residual streams in bf16 (~2x faster, measured RMSE ~2x worse at equal
-    # epochs on the 2D headline workload — a fast mode for long sweeps)
+    # epochs on the 2D headline workload); 'hybrid' trains the first
+    # hybrid_bf16_fraction of epochs in bf16 then finishes in f32 — bf16
+    # speed with f32 final accuracy (PINN only)
     compute_dtype: str = "float32"
+    hybrid_bf16_fraction: float = 0.8
     # fresh interior sample every epoch (the reference fixes the collocation
     # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
     # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
@@ -129,12 +133,14 @@ def _critic_model(cfg: PoissonConfig) -> SolutionModel:
 def train_poisson_nd(cfg: PoissonConfig) -> Dict:
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be one of {'PINN','DRM','WAN'}")
-    if cfg.compute_dtype not in ("float32", "bfloat16"):
-        raise ValueError("compute_dtype must be 'float32' or 'bfloat16'")
-    if cfg.compute_dtype == "bfloat16" and cfg.method != "PINN":
+    if cfg.compute_dtype not in ("float32", "bfloat16", "hybrid"):
         raise ValueError(
-            "compute_dtype='bfloat16' is currently implemented for the PINN "
-            "residual path only (DRM/WAN would silently run f32)"
+            "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
+        )
+    if cfg.compute_dtype != "float32" and cfg.method != "PINN":
+        raise ValueError(
+            "reduced-precision compute is currently implemented for the "
+            "PINN residual path only (DRM/WAN would silently run f32)"
         )
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
@@ -209,38 +215,68 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
     if cfg.method in ("PINN", "DRM"):
 
-        def loss_fn(params, key):
-            if cfg.resample:
-                X_cur = uniform_box(jax.random.fold_in(key, 3), cfg.n_interior, box)
-                f_cur = rhs_f(X_cur, cfg.L, ks)
-            else:
-                X_cur, f_cur = X_in, f_in
-            if cfg.method == "PINN":
-                if cfg.compute_dtype == "bfloat16":
-                    p16 = jax.tree_util.tree_map(
-                        lambda x: x.astype(jnp.bfloat16), params
+        def make_loss_fn(dtype: str):
+            def loss_fn(params, key):
+                if cfg.resample:
+                    X_cur = uniform_box(
+                        jax.random.fold_in(key, 3), cfg.n_interior, box
                     )
-                    jet = model.fields(p16, X_cur.astype(jnp.bfloat16))
-                    pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
-                    u_int = jet.value.astype(jnp.float32)
+                    f_cur = rhs_f(X_cur, cfg.L, ks)
                 else:
-                    jet = model.fields(params, X_cur)
-                    pde = pinn_poisson(jet.lap, f_cur)
-                    u_int = jet.value
-            else:
-                u_int, g = model.value_and_grad(params, X_cur)
-                pde = drm_poisson_energy(u_int, g, f_cur)
-            bc, data, norm, mean_pen = aux_terms(params, key, u_int)
-            total = (
-                w["pde"] * pde + w["bc"] * bc + w["data"] * data
-                + w["norm"] * norm + w["mean"] * mean_pen
-            )
-            return total, {"pde": pde, "bc": bc, "data": data, "norm": norm}
+                    X_cur, f_cur = X_in, f_in
+                if cfg.method == "PINN":
+                    if dtype == "bfloat16":
+                        p16 = jax.tree_util.tree_map(
+                            lambda x: x.astype(jnp.bfloat16), params
+                        )
+                        jet = model.fields(p16, X_cur.astype(jnp.bfloat16))
+                        pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
+                        u_int = jet.value.astype(jnp.float32)
+                    else:
+                        jet = model.fields(params, X_cur)
+                        pde = pinn_poisson(jet.lap, f_cur)
+                        u_int = jet.value
+                else:
+                    u_int, g = model.value_and_grad(params, X_cur)
+                    pde = drm_poisson_energy(u_int, g, f_cur)
+                bc, data, norm, mean_pen = aux_terms(params, key, u_int)
+                total = (
+                    w["pde"] * pde + w["bc"] * bc + w["data"] * data
+                    + w["norm"] * norm + w["mean"] * mean_pen
+                )
+                return total, {"pde": pde, "bc": bc, "data": data, "norm": norm}
 
-        result = fit(
-            loss_fn, eval_fn, params,
-            epochs=cfg.epochs, optimizer=optimizer, key=k_train, chunk=cfg.chunk,
-        )
+            return loss_fn
+
+        if cfg.compute_dtype == "hybrid":
+            # bf16 bulk phase (2x step throughput) then an exact-f32 tail:
+            # gets bf16's speed with f32's final accuracy
+            bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
+            tail = cfg.epochs - bulk
+            r1 = fit(
+                make_loss_fn("bfloat16"), eval_fn, params,
+                epochs=bulk, optimizer=optimizer, key=k_train, chunk=cfg.chunk,
+            )
+            result = fit(
+                make_loss_fn("float32"), eval_fn, r1.params,
+                epochs=tail, optimizer=optimizer, key=k_train,
+                chunk=cfg.chunk, start_epoch=bulk,
+            )
+            # merge histories and keep the global best
+            hist = {k: np.concatenate([r1.history[k], result.history[k]])
+                    for k in result.history}
+            if r1.best_metric < result.best_metric:
+                result = result._replace(
+                    best_params=r1.best_params, best_metric=r1.best_metric,
+                    best_epoch=r1.best_epoch,
+                )
+            result = result._replace(history=hist)
+        else:
+            result = fit(
+                make_loss_fn(cfg.compute_dtype), eval_fn, params,
+                epochs=cfg.epochs, optimizer=optimizer, key=k_train,
+                chunk=cfg.chunk,
+            )
     else:  # WAN
         critic = _critic_model(cfg)
         v_params = critic.init(jax.random.fold_in(k_init, 1))
