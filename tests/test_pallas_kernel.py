@@ -11,7 +11,7 @@ from nnpde_tpu.models import NetSpec, SolutionModel, factor_for_technique, init_
 from nnpde_tpu.ops.fwdlap import mlp_fwdlap
 
 
-@pytest.mark.parametrize("activation", ["sin", "tanh"])
+@pytest.mark.parametrize("activation", ["sin", "tanh", "gelu"])
 @pytest.mark.parametrize("d", [1, 2, 5])
 def test_kernel_matches_xla_forward(activation, d):
     params = init_mlp(
@@ -25,7 +25,7 @@ def test_kernel_matches_xla_forward(activation, d):
     np.testing.assert_allclose(np.asarray(ker.lap), np.asarray(ref.lap), atol=1e-3)
 
 
-@pytest.mark.parametrize("activation", ["sin", "tanh"])
+@pytest.mark.parametrize("activation", ["sin", "tanh", "gelu"])
 def test_kernel_custom_vjp_matches_autodiff(activation):
     d = 2
     params = init_mlp(
