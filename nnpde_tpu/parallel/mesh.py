@@ -35,6 +35,38 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, tp: int, axes=("data", "model")) -> Mesh:
+    """2D (data, model) mesh for combined batch + tensor parallelism."""
+    devs = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
+    return Mesh(devs, axes)
+
+
+def tp_shard_mlp(params, mesh: Mesh, axis: str = "model"):
+    """Megatron-style tensor parallelism for the MLP parameter list.
+
+    Hidden layers alternate column- and row-sharding so activations stay
+    sharded through pairs of layers and GSPMD inserts one psum per pair:
+      layer 0 (and even): W (in, out) sharded on OUT columns, b sharded;
+      odd layers:         W sharded on IN rows, b replicated.
+    The tiny nets here (<= ~120k params) never *need* TP — this exists to
+    exercise and validate the sharding path (SURVEY.md §5 notes pure DP is
+    the right production strategy).
+    """
+    out = []
+    for i, (W, b) in enumerate(params):
+        if i % 2 == 0 and W.shape[1] > 1:
+            Ws = jax.device_put(W, NamedSharding(mesh, P(None, axis)))
+            bs = jax.device_put(b, NamedSharding(mesh, P(axis)))
+        elif W.shape[0] > 1:
+            Ws = jax.device_put(W, NamedSharding(mesh, P(axis, None)))
+            bs = jax.device_put(b, NamedSharding(mesh, P()))
+        else:
+            Ws = jax.device_put(W, NamedSharding(mesh, P()))
+            bs = jax.device_put(b, NamedSharding(mesh, P()))
+        out.append((Ws, bs))
+    return out
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -114,3 +114,44 @@ def test_sharded_training_converges(setup):
     )
     assert loss_sharded < 0.6 * 3.0  # converging
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-3)
+
+
+def test_dp_tp_2d_mesh_training_matches_single_device(setup):
+    """Combined batch (dp=4) x tensor (tp=2) parallelism on the 2D mesh must
+    reproduce single-device results; GSPMD inserts the Megatron psums."""
+    from nnpde_tpu.parallel import make_mesh_2d, tp_shard_mlp
+
+    model, params, X, f, loss_fn = setup
+    mesh = make_mesh_2d(4, 2)
+    Xs = jax.device_put(X, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    fs = jax.device_put(f, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    ps = tp_shard_mlp(params, mesh)
+
+    loss_ref = jax.jit(loss_fn)(params, X, f)
+    loss_tp = jax.jit(loss_fn)(ps, Xs, fs)
+    np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=1e-5)
+
+    g_ref = jax.jit(jax.grad(loss_fn))(params, X, f)
+    g_tp = jax.jit(jax.grad(loss_fn))(ps, Xs, fs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=1e-6)
+
+    # one full optimizer step under dp x tp stays equivalent
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def step(p, s, X, f):
+        loss, g = jax.value_and_grad(loss_fn)(p, X, f)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    p1, _, l1 = step(params, opt.init(params), X, f)
+    p2, _, l2 = step(ps, opt.init(ps), Xs, fs)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=1e-6)
