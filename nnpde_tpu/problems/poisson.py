@@ -74,6 +74,9 @@ class PoissonConfig:
     # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
     # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
     resample: bool = False
+    # 'uniform' (reference) | 'sobol' (scrambled QMC — fixed-set mode only;
+    # MC error ~1/N instead of 1/sqrt(N), sharpens DRM in high dimension)
+    sampler: str = "uniform"
     n_eval: int = 10000
     chunk: int = 1000
 
@@ -159,7 +162,14 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
     params = model.init(k_init)
 
     # fixed interior collocation set + detached RHS (Poisson_ND.py:193-194)
-    X_in = uniform_box(k_x, cfg.n_interior, box)
+    if cfg.sampler == "sobol":
+        from ..sampling import sobol_box
+
+        X_in = sobol_box(cfg.seed, cfg.n_interior, box)
+    elif cfg.sampler == "uniform":
+        X_in = uniform_box(k_x, cfg.n_interior, box)
+    else:
+        raise ValueError("sampler must be 'uniform' or 'sobol'")
     f_in = rhs_f(X_in, cfg.L, ks)
 
     if cfg.n_data > 0:

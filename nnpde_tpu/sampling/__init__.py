@@ -1,5 +1,6 @@
 from .samplers import (
     uniform_box,
+    sobol_box,
     linspace_grid,
     meshgrid_2d,
     face_points,

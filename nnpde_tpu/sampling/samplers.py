@@ -25,6 +25,23 @@ def uniform_box(key, n: int, box: Box, dtype=jnp.float32):
     return lo + u * (hi - lo)
 
 
+def sobol_box(seed: int, n: int, box: Box, dtype=jnp.float32):
+    """n scrambled-Sobol quasi-Monte-Carlo points in the box — (n, d).
+
+    Host-side (scipy.stats.qmc); for FIXED collocation sets only.  QMC error
+    decays ~1/N vs Monte Carlo's 1/sqrt(N) — it sharpens the Deep-Ritz
+    energy estimate markedly in high dimensions (framework extension; the
+    reference samples uniformly, Poisson_ND.py:187-190).
+    """
+    from scipy.stats import qmc
+
+    eng = qmc.Sobol(d=box.dim, scramble=True, seed=seed)
+    u = eng.random(n)
+    lo = jnp.asarray(box.lo, dtype)
+    hi = jnp.asarray(box.hi, dtype)
+    return lo + jnp.asarray(u, dtype) * (hi - lo)
+
+
 def linspace_grid(n: int, lo: float, hi: float, dtype=jnp.float32):
     """Fixed 1D grid — (n, 1)."""
     return jnp.linspace(lo, hi, n, dtype=dtype).reshape(-1, 1)
