@@ -64,6 +64,9 @@ class IPW2DConfig:
     n_boundary: int = 200
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
+    # float32 | bfloat16 | hybrid (PINN only; see problems/poisson.py)
+    compute_dtype: str = "float32"
+    hybrid_bf16_fraction: float = 0.8
     chunk: int = 1000
     # Optional overrides of the reference weight table.  NOTE: the reference
     # table has lambda_data = 0 and no norm loss (IPW_2D.py:172-177), so its
@@ -91,6 +94,8 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
 def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
+    if cfg.compute_dtype != "float32" and cfg.method != "PINN":
+        raise ValueError("reduced-precision compute is PINN-only")
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -183,20 +188,37 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             else jnp.asarray(0.0),
         }
 
-    def loss_terms(params):
-        if cfg.method == "PINN":
-            jet = model.fields(params, X)
-            u = jet.value
-            pde = pinn_helmholtz(u, jet.lap, k_squared)
-            drm = jnp.asarray(0.0)
-        else:
-            u, g = model.value_and_grad(params, X)
-            pde = jnp.asarray(0.0)
-            drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
-        terms = {"pde": pde, "drm": drm}
-        terms.update(shared_terms(params, u))
-        total = sum(w[k] * terms[k] for k in w)
-        return total, terms
+    def make_loss_terms(dtype):
+        def loss_terms(params):
+            if cfg.method == "PINN":
+                if dtype == "bfloat16":
+                    p16 = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), params
+                    )
+                    jet = model.fields(p16, X.astype(jnp.bfloat16))
+                    u = jet.value.astype(jnp.float32)
+                    pde = pinn_helmholtz(
+                        u, jet.lap.astype(jnp.float32), k_squared
+                    )
+                else:
+                    jet = model.fields(params, X)
+                    u = jet.value
+                    pde = pinn_helmholtz(u, jet.lap, k_squared)
+                drm = jnp.asarray(0.0)
+            else:
+                u, g = model.value_and_grad(params, X)
+                pde = jnp.asarray(0.0)
+                drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
+            terms = {"pde": pde, "drm": drm}
+            terms.update(shared_terms(params, u))
+            total = sum(w[k] * terms[k] for k in w)
+            return total, terms
+
+        return loss_terms
+
+    loss_terms = make_loss_terms(
+        "float32" if cfg.compute_dtype == "hybrid" else cfg.compute_dtype
+    )
 
     def loss_fn(params, key):
         return loss_terms(params)
@@ -267,11 +289,39 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
         )
     else:
-        result = fit(
-            loss_fn, eval_fn, params,
-            epochs=cfg.epochs, optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
-            key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+        optimizer = make_optimizer(
+            cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
         )
+        if cfg.compute_dtype == "hybrid":
+            import numpy as _np
+
+            bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
+            lt16 = make_loss_terms("bfloat16")
+            r1 = fit(
+                lambda p, k: lt16(p), eval_fn, params,
+                epochs=bulk, optimizer=optimizer,
+                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            )
+            result = fit(
+                loss_fn, eval_fn, r1.params,
+                epochs=cfg.epochs - bulk, optimizer=optimizer,
+                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+                start_epoch=bulk,
+            )
+            hist = {k: _np.concatenate([r1.history[k], result.history[k]])
+                    for k in result.history}
+            if r1.best_metric < result.best_metric:
+                result = result._replace(
+                    best_params=r1.best_params, best_metric=r1.best_metric,
+                    best_epoch=r1.best_epoch,
+                )
+            result = result._replace(history=hist)
+        else:
+            result = fit(
+                loss_fn, eval_fn, params,
+                epochs=cfg.epochs, optimizer=optimizer,
+                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            )
         if cfg.LBFGS:
             polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
                                        max_iter=500)
