@@ -29,3 +29,19 @@ Architecture (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+# -- convenience top-level API ------------------------------------------------
+from .problems.poisson import PoissonConfig, train_poisson_nd  # noqa: E402
+from .problems.ipw import (  # noqa: E402
+    IPW1DConfig, IPW1DWanConfig, train_ipw_1d, train_ipw_1d_wan,
+)
+from .problems.ipw2d import IPW2DConfig, train_ipw_2d  # noqa: E402
+from .problems.qho import (  # noqa: E402
+    QHO1DConfig, QHO1DWanConfig, train_qho_1d, train_qho_1d_wan,
+)
+from .problems.qho2d import QHO2DConfig, train_qho_2d  # noqa: E402
+from .problems.kh import (  # noqa: E402
+    KHConfig, KHCompareConfig, run_compare, train_kh,
+)
+from .pde.kh import KHGroundTruth  # noqa: E402

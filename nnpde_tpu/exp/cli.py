@@ -32,6 +32,9 @@ def _add_common(p, *, epochs, lr=1e-3):
     p.add_argument("--save-dir", type=str, default=None)
     p.add_argument("--chunk", type=int, default=None,
                    help="epochs per compiled scan chunk")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
+    p.add_argument("--debug-nans", action="store_true")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -164,6 +167,27 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        from ..runtime import enable_debug_nans
+
+        enable_debug_nans()
+    if getattr(args, "profile", None):
+        from ..runtime import profile_trace
+
+        import contextlib
+
+        ctx = profile_trace(args.profile)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _dispatch(args)
+
+
+def _dispatch(args) -> int:
+    import json
+
     kw = dict(epochs=args.epochs, lr=args.lr, seed=args.seed)
     if args.chunk:
         kw["chunk"] = args.chunk

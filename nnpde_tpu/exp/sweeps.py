@@ -123,6 +123,31 @@ def sweep_qho_1d(
     return rows
 
 
+def sweep_kh_alpha(
+    alphas: Sequence[float] = (0, 5, 10, 15, 20),
+    *,
+    n_max: int = 1,
+    epochs: int = 10000,
+    save_dir: str = "results/KH_1D",
+    **overrides,
+) -> List[Dict]:
+    """Laser-intensity sweep over the quiver amplitude alpha — the
+    commented-out study in the reference's __main__ (KH_1D.py:639-653):
+    one run_compare per alpha, each with its own results file."""
+    from ..problems.kh import KHCompareConfig, run_compare
+
+    rows = []
+    for alpha in alphas:
+        rows.extend(run_compare(KHCompareConfig(
+            alpha=float(alpha), n_max=n_max, epochs=epochs,
+            data_fraction=0.5, max_data_points=500,
+            save_dir=save_dir,
+            results_filename=f"results_KH_1D_alpha{alpha}.json",
+            **overrides,
+        )))
+    return rows
+
+
 def sweep_qho_2d_energy(
     n_values: Sequence[Sequence[int]] = ((0, 0), (1, 0), (1, 1), (2, 0),
                                          (2, 1), (2, 2)),

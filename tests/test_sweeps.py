@@ -59,3 +59,27 @@ def test_sweep_qho2d_energy_shape(tmp_path):
     assert len(rows) == 6
     assert {r["technique"] for r in rows} == {"FBC", "FN", "OG"}
     assert all("learned_energy" in r for r in rows)
+
+
+def test_sweep_kh_alpha(tmp_path):
+    from nnpde_tpu.exp.sweeps import sweep_kh_alpha
+
+    rows = sweep_kh_alpha(
+        alphas=[0.0, 5.0], n_max=1, epochs=10,
+        L=15.0, n_ref=300, train_n=128, layers=(1, 8, 8, 1),
+        v_layers=(1, 8, 1), methods=("PINN",),
+        save_dir=str(tmp_path), chunk=10,
+    )
+    assert len(rows) == 2
+    assert {r["alpha"] for r in rows} == {0.0, 5.0}
+    import os
+    assert os.path.exists(str(tmp_path / "results_KH_1D_alpha0.0.json"))
+
+
+def test_top_level_api():
+    import nnpde_tpu
+
+    for name in ("PoissonConfig", "train_poisson_nd", "IPW2DConfig",
+                 "QHO2DConfig", "KHCompareConfig", "run_compare",
+                 "KHGroundTruth"):
+        assert hasattr(nnpde_tpu, name), name
