@@ -59,6 +59,10 @@ class IPW2DConfig:
     # one weak residual per bump (framework extension — the reference's
     # single global bump yields rank-1 gradient information per step)
     n_test_grid: int = 1
+    # WAN only: draw a fresh uniform collocation sample per critic/primal
+    # step instead of the fixed meshgrid (removes the fixed-grid weak-form
+    # quadrature bias; the Poisson WAN does this, Poisson_ND.py:244-253)
+    wan_resample: bool = False
     grid_n: int = 200
     data_grid_n: int = 50
     n_boundary: int = 200
@@ -245,14 +249,30 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
         else:
             wv_const, dwv_const = bump_w(X, 0.0, L)
 
-        def wan_pde(u_params, v_params):
-            u, gu = model.value_and_grad(u_params, X)
-            v, gv = v_model.value_and_grad(v_params, X)
+        def wan_pde(u_params, v_params, key=None):
+            if cfg.wan_resample and key is not None:
+                import jax as _jax
+
+                Xw = _jax.random.uniform(key, X.shape, X.dtype, 0.0, L)
+                wv_c, dwv_c = bump_w(Xw, 0.0, L)
+            else:
+                Xw = X
+                wv_c, dwv_c = (None, None) if cfg.n_test_grid > 1 else (
+                    wv_const, dwv_const
+                )
+            u, gu = model.value_and_grad(u_params, Xw)
+            v, gv = v_model.value_and_grad(v_params, Xw)
             if cfg.n_test_grid > 1:
+                if cfg.wan_resample and key is not None:
+                    from ..ops import bump_w_multi
+
+                    wv_m, dwv_m = bump_w_multi(Xw, centers, hw)
+                else:
+                    wv_m, dwv_m = wv_multi, dwv_multi
                 # one weak residual per localised test function phi_k = w_k v
-                phi = wv_multi * v[None, :]                       # (K, N)
-                gphi = (dwv_multi * v[None, :, None]
-                        + wv_multi[:, :, None] * gv[None, :, :])  # (K, N, 2)
+                phi = wv_m * v[None, :]                           # (K, N)
+                gphi = (dwv_m * v[None, :, None]
+                        + wv_m[:, :, None] * gv[None, :, :])      # (K, N, 2)
                 integrand = (
                     0.5 * jnp.sum(gu[None] * gphi, axis=-1)
                     - E * u[None, :] * phi
@@ -260,17 +280,20 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
                 weak_k = jnp.mean(integrand, axis=1)              # (K,)
                 norm_k = jnp.mean(phi**2, axis=1)                 # (K,)
                 return jnp.mean(weak_k**2 / (norm_k + 1e-8)), u
-            phi = wv_const * v
-            gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
+            phi = wv_c * v
+            gphi = dwv_c * v[:, None] + wv_c[:, None] * gv
             weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
             return wan_pde_loss(weak, jnp.mean(phi**2)), u
 
         def v_loss_fn(v_params, u_params, key):
-            loss_pde, _ = wan_pde(u_params, v_params)
+            loss_pde, _ = wan_pde(u_params, v_params, key)
             return -jnp.log(loss_pde + 1e-8)
 
         def u_loss_fn(u_params, v_params, key):
-            loss_pde, u = wan_pde(u_params, v_params)
+            loss_pde, u_w = wan_pde(u_params, v_params, key)
+            # data/parity/symmetry/norm stay on the fixed grid
+            u = (model.apply_batch(u_params, X)
+                 if cfg.wan_resample else u_w)
             terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
             terms.update(shared_terms(u_params, u))
             total = sum(w[k] * terms[k] for k in w)
