@@ -60,11 +60,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solution", choices=["sin", "cos"], default="sin")
     p.add_argument("--resample", action="store_true",
                    help="fresh interior sample every epoch")
+    p.add_argument("--sampler", choices=["uniform", "sobol"],
+                   default="uniform",
+                   help="sobol = scrambled QMC; with --resample the base "
+                        "set gets a fresh random shift per epoch")
     p.add_argument("--lr-schedule", choices=["constant", "cosine",
                                              "exponential"],
                    default="constant")
-    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
-                   default="float32")
+    p.add_argument("--compute-dtype",
+                   choices=["float32", "bfloat16", "hybrid"],
+                   default="float32",
+                   help="hybrid = bf16 bulk + f32 tail (bf16 speed, f32 "
+                        "final accuracy; optimizer state carries across)")
+    p.add_argument("--norm-mode", choices=["nontrivial", "l2"],
+                   default="nontrivial")
+    p.add_argument("--wan-reg", type=float, default=1.0,
+                   help="WAN critic regularisation weight")
     _add_common(p, epochs=10000)
 
     p = sub.add_parser("ipw1d", help="1D infinite well eigenstates (PINN/DRM)")
@@ -99,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-schedule", choices=["constant", "cosine",
                                              "exponential"],
                    default="constant")
+    p.add_argument("--compute-dtype",
+                   choices=["float32", "bfloat16", "hybrid"],
+                   default="float32")
     p.add_argument("--lbfgs", action="store_true")
     p.add_argument("--weights", type=json.loads, default=None,
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
@@ -200,6 +214,8 @@ def _dispatch(args) -> int:
             dim=args.dim, L=args.L, ks=args.ks, method=args.method,
             bc_mode=args.bc_mode, bc_type=args.bc_type,
             solution=args.solution, resample=args.resample,
+            sampler=args.sampler, norm_mode=args.norm_mode,
+            wan_reg=args.wan_reg,
             lr_schedule=args.lr_schedule, compute_dtype=args.compute_dtype,
             n_interior=args.n_interior,
             n_boundary=args.n_boundary, n_data=args.n_data,
@@ -233,6 +249,7 @@ def _dispatch(args) -> int:
                           v_layers=tuple(args.v_layers), v_steps=args.v_steps,
                           n_test_grid=args.n_test_grid,
                           lr_schedule=args.lr_schedule,
+                          compute_dtype=args.compute_dtype,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
     elif args.cmd == "qho1d":

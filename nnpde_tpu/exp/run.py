@@ -29,6 +29,16 @@ def _stamp() -> str:
     return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
 
 
+def _time_of_best(min_epoch: int, elapsed: float, epochs: int):
+    """Wall-clock estimate of when the best model appeared; ``None`` when no
+    epoch ever improved (min_epoch == -1, e.g. epochs=0 resume templates) —
+    the naive formula would write a negative nonsense value to the ledger
+    (cf. the guard run_compare already has, problems/kh.py)."""
+    if min_epoch < 0:
+        return None
+    return min_epoch * elapsed / max(epochs, 1)
+
+
 def _persist(out: Dict, *, save_dir: str, results_file: str, tag: str,
              meta: Dict, extra_row: Optional[Dict] = None,
              v_meta: Optional[Dict] = None) -> Dict:
@@ -121,7 +131,7 @@ def run_ipw_1d(cfg: IPW1DConfig,
         "method": cfg.method, "n": cfg.n, "epochs": cfg.epochs,
         "LBFGS": cfg.LBFGS, "technique": cfg.technique,
         "time": elapsed,
-        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "time_of_best_model": _time_of_best(out["min_epoch"], elapsed, cfg.epochs),
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
         "layers": list(cfg.layers),
@@ -163,7 +173,7 @@ def run_ipw_1d_wan(cfg: IPW1DWanConfig,
     extra = {
         "method": "WAN", "n": cfg.n, "epochs": cfg.epochs,
         "technique": cfg.technique, "time": elapsed,
-        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "time_of_best_model": _time_of_best(out["min_epoch"], elapsed, cfg.epochs),
         "weight_pde": w["pde"], "weight_data": w["data"], "weight_norm": w["norm"],
         "weight_bc": w["bc"], "weight_orth": w["orth"],
         "layers": list(cfg.layers), "v_layers": list(cfg.v_layers),
@@ -201,7 +211,7 @@ def run_qho_1d(cfg: QHO1DConfig,
     extra = {
         "method": cfg.method, "n": cfg.n, "epochs": cfg.epochs,
         "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
-        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "time_of_best_model": _time_of_best(out["min_epoch"], elapsed, cfg.epochs),
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
     }
@@ -259,7 +269,7 @@ def run_ipw_2d(cfg: IPW2DConfig,
     extra = {
         "method": cfg.method, "n": [cfg.nx, cfg.ny], "epochs": cfg.epochs,
         "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
-        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "time_of_best_model": _time_of_best(out["min_epoch"], elapsed, cfg.epochs),
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_bc": w["bc"], "weight_orth": w["orth"],
     }
@@ -294,7 +304,7 @@ def run_qho_2d(cfg: QHO2DConfig,
     extra = {
         "method": cfg.method, "n": [cfg.nx, cfg.ny], "epochs": cfg.epochs,
         "LBFGS": cfg.LBFGS, "technique": cfg.technique, "time": elapsed,
-        "time_of_best_model": out["min_epoch"] * elapsed / max(cfg.epochs, 1),
+        "time_of_best_model": _time_of_best(out["min_epoch"], elapsed, cfg.epochs),
         "weight_pde": w["pde"], "weight_drm": w["drm"], "weight_data": w["data"],
         "weight_norm": w["norm"], "weight_bc": w["bc"], "weight_orth": w["orth"],
         "learned_energy": out["learned_energy"],

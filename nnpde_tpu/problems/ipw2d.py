@@ -68,7 +68,7 @@ class IPW2DConfig:
     n_boundary: int = 200
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
-    # float32 | bfloat16 | hybrid (PINN only; see problems/poisson.py)
+    # float32 | bfloat16 | hybrid (PINN + DRM; see problems/poisson.py)
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
     chunk: int = 1000
@@ -98,8 +98,17 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
 def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
-    if cfg.compute_dtype != "float32" and cfg.method != "PINN":
-        raise ValueError("reduced-precision compute is PINN-only")
+    if cfg.compute_dtype not in ("float32", "bfloat16", "hybrid"):
+        raise ValueError(
+            "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
+        )
+    if cfg.compute_dtype != "float32" and cfg.method == "WAN":
+        raise ValueError(
+            "reduced-precision compute for the 2D-well WAN is not supported "
+            "(the weak-form minimax is accuracy-floor-limited, not "
+            "bandwidth-limited — use problems/poisson.py WAN for the bf16 "
+            "path)"
+        )
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -194,25 +203,27 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
 
     def make_loss_terms(dtype):
         def loss_terms(params):
+            if dtype == "bfloat16":
+                p_c = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), params
+                )
+                X_c = X.astype(jnp.bfloat16)
+            else:
+                p_c, X_c = params, X
             if cfg.method == "PINN":
-                if dtype == "bfloat16":
-                    p16 = jax.tree_util.tree_map(
-                        lambda x: x.astype(jnp.bfloat16), params
-                    )
-                    jet = model.fields(p16, X.astype(jnp.bfloat16))
-                    u = jet.value.astype(jnp.float32)
-                    pde = pinn_helmholtz(
-                        u, jet.lap.astype(jnp.float32), k_squared
-                    )
-                else:
-                    jet = model.fields(params, X)
-                    u = jet.value
-                    pde = pinn_helmholtz(u, jet.lap, k_squared)
+                jet = model.fields(p_c, X_c)
+                u = jet.value.astype(jnp.float32)
+                pde = pinn_helmholtz(
+                    u, jet.lap.astype(jnp.float32), k_squared
+                )
                 drm = jnp.asarray(0.0)
             else:
-                u, g = model.value_and_grad(params, X)
+                u, g = model.value_and_grad(p_c, X_c)
+                u = u.astype(jnp.float32)
                 pde = jnp.asarray(0.0)
-                drm = drm_rayleigh_unscaled(u, g, den_eps=1e-8)
+                drm = drm_rayleigh_unscaled(
+                    u, g.astype(jnp.float32), den_eps=1e-8
+                )
             terms = {"pde": pde, "drm": drm}
             terms.update(shared_terms(params, u))
             total = sum(w[k] * terms[k] for k in w)
@@ -318,6 +329,9 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
         if cfg.compute_dtype == "hybrid":
             import numpy as _np
 
+            # f32 tail resumes from the FULL bf16 carry — Adam moments,
+            # lr-schedule step and the running best continue across the
+            # precision switch (carry structure is dtype-independent)
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
             lt16 = make_loss_terms("bfloat16")
             r1 = fit(
@@ -326,18 +340,13 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
                 key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
             )
             result = fit(
-                loss_fn, eval_fn, r1.params,
+                loss_fn, eval_fn, params,
                 epochs=cfg.epochs - bulk, optimizer=optimizer,
                 key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
-                start_epoch=bulk,
+                start_epoch=bulk, init_carry=r1.carry,
             )
             hist = {k: _np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
-            if r1.best_metric < result.best_metric:
-                result = result._replace(
-                    best_params=r1.best_params, best_metric=r1.best_metric,
-                    best_epoch=r1.best_epoch,
-                )
             result = result._replace(history=hist)
         else:
             result = fit(

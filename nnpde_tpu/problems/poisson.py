@@ -67,15 +67,19 @@ class PoissonConfig:
     # residual streams in bf16 (~2x faster, measured RMSE ~2x worse at equal
     # epochs on the 2D headline workload); 'hybrid' trains the first
     # hybrid_bf16_fraction of epochs in bf16 then finishes in f32 — bf16
-    # speed with f32 final accuracy (PINN only)
+    # speed with f32 final accuracy.  All three methods supported; the
+    # hybrid phase switch carries the full optimizer state across (Adam
+    # moments and lr-schedule step continue, no silent reset).
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
     # fresh interior sample every epoch (the reference fixes the collocation
     # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
     # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
     resample: bool = False
-    # 'uniform' (reference) | 'sobol' (scrambled QMC — fixed-set mode only;
-    # MC error ~1/N instead of 1/sqrt(N), sharpens DRM in high dimension)
+    # 'uniform' (reference) | 'sobol' (scrambled QMC — MC error ~1/N instead
+    # of 1/sqrt(N), sharpens DRM in high dimension).  With resample=True the
+    # fixed Sobol base set gets a fresh Cranley-Patterson rotation per epoch
+    # (device-side randomised QMC), so the two variance weapons compose.
     sampler: str = "uniform"
     n_eval: int = 10000
     chunk: int = 1000
@@ -140,11 +144,6 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         raise ValueError(
             "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
         )
-    if cfg.compute_dtype != "float32" and cfg.method != "PINN":
-        raise ValueError(
-            "reduced-precision compute is currently implemented for the "
-            "PINN residual path only (DRM/WAN would silently run f32)"
-        )
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":
@@ -163,11 +162,25 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
     # fixed interior collocation set + detached RHS (Poisson_ND.py:193-194)
     if cfg.sampler == "sobol":
-        from ..sampling import sobol_box
+        from ..sampling import shifted_qmc, sobol_unit
 
-        X_in = sobol_box(cfg.seed, cfg.n_interior, box)
+        U_base = sobol_unit(cfg.seed, cfg.n_interior, cfg.dim)
+        lo = jnp.asarray(box.lo)
+        hi = jnp.asarray(box.hi)
+        X_in = lo + U_base * (hi - lo)
+
+        def draw_interior(key):
+            # randomised QMC: fresh Cranley-Patterson rotation of the fixed
+            # Sobol base (device-side, jit-safe) — keeps the ~1/N QMC error
+            # while removing the fixed-set bias
+            return shifted_qmc(U_base, key, box)
+
     elif cfg.sampler == "uniform":
         X_in = uniform_box(k_x, cfg.n_interior, box)
+
+        def draw_interior(key):
+            return uniform_box(key, cfg.n_interior, box)
+
     else:
         raise ValueError("sampler must be 'uniform' or 'sobol'")
     f_in = rhs_f(X_in, cfg.L, ks)
@@ -228,27 +241,27 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         def make_loss_fn(dtype: str):
             def loss_fn(params, key):
                 if cfg.resample:
-                    X_cur = uniform_box(
-                        jax.random.fold_in(key, 3), cfg.n_interior, box
-                    )
+                    X_cur = draw_interior(jax.random.fold_in(key, 3))
                     f_cur = rhs_f(X_cur, cfg.L, ks)
                 else:
                     X_cur, f_cur = X_in, f_in
-                if cfg.method == "PINN":
-                    if dtype == "bfloat16":
-                        p16 = jax.tree_util.tree_map(
-                            lambda x: x.astype(jnp.bfloat16), params
-                        )
-                        jet = model.fields(p16, X_cur.astype(jnp.bfloat16))
-                        pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
-                        u_int = jet.value.astype(jnp.float32)
-                    else:
-                        jet = model.fields(params, X_cur)
-                        pde = pinn_poisson(jet.lap, f_cur)
-                        u_int = jet.value
+                if dtype == "bfloat16":
+                    p_c = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), params
+                    )
+                    X_c = X_cur.astype(jnp.bfloat16)
                 else:
-                    u_int, g = model.value_and_grad(params, X_cur)
-                    pde = drm_poisson_energy(u_int, g, f_cur)
+                    p_c, X_c = params, X_cur
+                if cfg.method == "PINN":
+                    jet = model.fields(p_c, X_c)
+                    pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
+                    u_int = jet.value.astype(jnp.float32)
+                else:
+                    u_int, g = model.value_and_grad(p_c, X_c)
+                    u_int = u_int.astype(jnp.float32)
+                    pde = drm_poisson_energy(
+                        u_int, g.astype(jnp.float32), f_cur
+                    )
                 bc, data, norm, mean_pen = aux_terms(params, key, u_int)
                 total = (
                     w["pde"] * pde + w["bc"] * bc + w["data"] * data
@@ -260,7 +273,10 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
         if cfg.compute_dtype == "hybrid":
             # bf16 bulk phase (2x step throughput) then an exact-f32 tail:
-            # gets bf16's speed with f32's final accuracy
+            # gets bf16's speed with f32's final accuracy.  The f32 phase
+            # resumes from the FULL bf16-phase carry (same carry structure:
+            # only the loss dtype changes), so Adam moments, the lr-schedule
+            # step count and the running best all continue across the switch.
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
             tail = cfg.epochs - bulk
             r1 = fit(
@@ -268,18 +284,12 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                 epochs=bulk, optimizer=optimizer, key=k_train, chunk=cfg.chunk,
             )
             result = fit(
-                make_loss_fn("float32"), eval_fn, r1.params,
+                make_loss_fn("float32"), eval_fn, params,
                 epochs=tail, optimizer=optimizer, key=k_train,
-                chunk=cfg.chunk, start_epoch=bulk,
+                chunk=cfg.chunk, start_epoch=bulk, init_carry=r1.carry,
             )
-            # merge histories and keep the global best
             hist = {k: np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
-            if r1.best_metric < result.best_metric:
-                result = result._replace(
-                    best_params=r1.best_params, best_metric=r1.best_metric,
-                    best_epoch=r1.best_epoch,
-                )
             result = result._replace(history=hist)
         else:
             result = fit(
@@ -291,9 +301,23 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         critic = _critic_model(cfg)
         v_params = critic.init(jax.random.fold_in(k_init, 1))
 
-        def wan_core(u_params, v_params, X, f):
-            u, gu = model.value_and_grad(u_params, X)
-            v, gv = critic.value_and_grad(v_params, X)
+        def wan_core(u_params, v_params, X, f, dtype):
+            if dtype == "bfloat16":
+                # net streams in bf16 (the HBM-bound cost); all reductions
+                # (weak residual, norms) accumulate in f32
+                cast16 = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), t
+                )
+                X16 = X.astype(jnp.bfloat16)
+                u, gu = model.value_and_grad(cast16(u_params), X16)
+                v, gv = critic.value_and_grad(cast16(v_params), X16)
+                u, gu, v, gv = (
+                    u.astype(jnp.float32), gu.astype(jnp.float32),
+                    v.astype(jnp.float32), gv.astype(jnp.float32),
+                )
+            else:
+                u, gu = model.value_and_grad(u_params, X)
+                v, gv = critic.value_and_grad(v_params, X)
             wv, dwv = bump_w(X, 0.0, cfg.L)
             phi = wv * v
             gphi = dwv * v[:, None] + wv[:, None] * gv
@@ -302,41 +326,69 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             loss_pde = wan_pde_loss(weak, phi_norm)
             return loss_pde, weak, phi_norm, u, v, gv
 
-        def v_loss_fn(v_params, u_params, key):
-            """Critic objective -log(loss_pde) + reg * mean(|grad v|^2 + v^2),
-            on a fresh interior sample (Poisson_ND.py:105-128,244-248)."""
-            Xc = uniform_box(key, cfg.n_interior, box)
-            fc = rhs_f(Xc, cfg.L, ks)
-            loss_pde, _, _, _, v, gv = wan_core(u_params, v_params, Xc, fc)
-            v_reg = jnp.mean(jnp.sum(gv * gv, axis=-1) + v * v)
-            return -jnp.log(loss_pde + 1e-8) + cfg.wan_reg * v_reg
+        def make_v_loss_fn(dtype):
+            def v_loss_fn(v_params, u_params, key):
+                """Critic objective -log(loss_pde) + reg * mean(|grad v|^2
+                + v^2), fresh interior sample (Poisson_ND.py:105-128,244-248)."""
+                Xc = draw_interior(key)
+                fc = rhs_f(Xc, cfg.L, ks)
+                loss_pde, _, _, _, v, gv = wan_core(
+                    u_params, v_params, Xc, fc, dtype
+                )
+                v_reg = jnp.mean(jnp.sum(gv * gv, axis=-1) + v * v)
+                return -jnp.log(loss_pde + 1e-8) + cfg.wan_reg * v_reg
 
-        def u_loss_fn(u_params, v_params, key):
-            Xu = uniform_box(key, cfg.n_interior, box)
-            fu = rhs_f(Xu, cfg.L, ks)
-            loss_pde, weak, phi_norm, u_int, _, _ = wan_core(u_params, v_params, Xu, fu)
-            bc, data, norm, mean_pen = aux_terms(
-                u_params, jax.random.fold_in(key, 7), u_int
-            )
-            total = (
-                w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data
-                + w["norm"] * norm + w["mean"] * mean_pen
-            )
-            return total, {
-                "pde": loss_pde, "bc": bc, "data": data, "norm": norm,
-                "wan_weak": weak, "wan_phi_norm": phi_norm,
-            }
+            return v_loss_fn
 
-        result = fit_wan(
-            u_loss_fn, v_loss_fn, eval_fn, params, v_params,
-            epochs=cfg.epochs, v_steps=cfg.critic_steps,
-            u_optimizer=optimizer,
-            v_optimizer=make_optimizer(
-                cfg.lr, schedule=cfg.lr_schedule,
-                total_steps=cfg.epochs * cfg.critic_steps,
-            ),
-            key=k_train, chunk=min(cfg.chunk, 500),
+        def make_u_loss_fn(dtype):
+            def u_loss_fn(u_params, v_params, key):
+                Xu = draw_interior(key)
+                fu = rhs_f(Xu, cfg.L, ks)
+                loss_pde, weak, phi_norm, u_int, _, _ = wan_core(
+                    u_params, v_params, Xu, fu, dtype
+                )
+                bc, data, norm, mean_pen = aux_terms(
+                    u_params, jax.random.fold_in(key, 7), u_int
+                )
+                total = (
+                    w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data
+                    + w["norm"] * norm + w["mean"] * mean_pen
+                )
+                return total, {
+                    "pde": loss_pde, "bc": bc, "data": data, "norm": norm,
+                    "wan_weak": weak, "wan_phi_norm": phi_norm,
+                }
+
+            return u_loss_fn
+
+        v_optimizer = make_optimizer(
+            cfg.lr, schedule=cfg.lr_schedule,
+            total_steps=cfg.epochs * cfg.critic_steps,
         )
+        wan_kw = dict(
+            v_steps=cfg.critic_steps, u_optimizer=optimizer,
+            v_optimizer=v_optimizer, key=k_train, chunk=min(cfg.chunk, 500),
+        )
+        if cfg.compute_dtype == "hybrid":
+            bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
+            r1 = fit_wan(
+                make_u_loss_fn("bfloat16"), make_v_loss_fn("bfloat16"),
+                eval_fn, params, v_params, epochs=bulk, **wan_kw,
+            )
+            result = fit_wan(
+                make_u_loss_fn("float32"), make_v_loss_fn("float32"),
+                eval_fn, params, v_params, epochs=cfg.epochs - bulk,
+                start_epoch=bulk, init_carry=r1.carry, **wan_kw,
+            )
+            hist = {k: np.concatenate([r1.history[k], result.history[k]])
+                    for k in result.history}
+            result = result._replace(history=hist)
+        else:
+            result = fit_wan(
+                make_u_loss_fn(cfg.compute_dtype),
+                make_v_loss_fn(cfg.compute_dtype),
+                eval_fn, params, v_params, epochs=cfg.epochs, **wan_kw,
+            )
 
     # rms of the manufactured solution: mean(sin^2) = 1/2 per dimension, so
     # ||u*||_rms = 2^{-d/2} exactly — gives the relative-L2 of BASELINE.json

@@ -100,6 +100,12 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
+    if cfg.trainable_energy and cfg.method != "PINN":
+        raise ValueError(
+            "trainable_energy requires method='PINN' (QHO_2D_Energy.py "
+            "trains E through the strong residual) — a DRM/WAN run would "
+            "silently train with the fixed exact E"
+        )
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
 
     u_model = SolutionModel(

@@ -1,6 +1,8 @@
 from .samplers import (
     uniform_box,
     sobol_box,
+    sobol_unit,
+    shifted_qmc,
     linspace_grid,
     meshgrid_2d,
     face_points,

@@ -25,21 +25,46 @@ def uniform_box(key, n: int, box: Box, dtype=jnp.float32):
     return lo + u * (hi - lo)
 
 
-def sobol_box(seed: int, n: int, box: Box, dtype=jnp.float32):
-    """n scrambled-Sobol quasi-Monte-Carlo points in the box — (n, d).
+def sobol_unit(seed: int, n: int, d: int, dtype=jnp.float32):
+    """n scrambled-Sobol points in the unit cube [0,1)^d — (n, d).
 
-    Host-side (scipy.stats.qmc); for FIXED collocation sets only.  QMC error
-    decays ~1/N vs Monte Carlo's 1/sqrt(N) — it sharpens the Deep-Ritz
-    energy estimate markedly in high dimensions (framework extension; the
-    reference samples uniformly, Poisson_ND.py:187-190).
+    Host-side generation (scipy.stats.qmc), device-resident result.  The
+    base set is fixed; combine with :func:`shifted_qmc` for per-epoch
+    randomised QMC (the reference samples uniformly, Poisson_ND.py:187-190).
     """
     from scipy.stats import qmc
 
-    eng = qmc.Sobol(d=box.dim, scramble=True, seed=seed)
-    u = eng.random(n)
+    eng = qmc.Sobol(d=d, scramble=True, seed=seed)
+    return jnp.asarray(eng.random(n), dtype)
+
+
+def sobol_box(seed: int, n: int, box: Box, dtype=jnp.float32):
+    """n scrambled-Sobol quasi-Monte-Carlo points in the box — (n, d).
+
+    QMC error decays ~1/N vs Monte Carlo's 1/sqrt(N) — it sharpens the
+    Deep-Ritz energy estimate markedly in high dimensions (framework
+    extension; the reference samples uniformly, Poisson_ND.py:187-190).
+    """
+    u = sobol_unit(seed, n, box.dim, dtype)
     lo = jnp.asarray(box.lo, dtype)
     hi = jnp.asarray(box.hi, dtype)
-    return lo + jnp.asarray(u, dtype) * (hi - lo)
+    return lo + u * (hi - lo)
+
+
+def shifted_qmc(u_base, key, box: Box):
+    """Per-epoch randomised QMC: Cranley-Patterson rotation of a fixed
+    Sobol base set, entirely device-side and jit-safe.
+
+    ``(u_base + shift) mod 1`` with a fresh uniform shift per call is an
+    unbiased estimator that keeps the low-discrepancy structure, so QMC
+    variance reduction composes with per-epoch resampling (round-1 gap:
+    sobol was fixed-set only, so it could not combine with resample=True).
+    """
+    shift = jax.random.uniform(key, (u_base.shape[-1],), u_base.dtype)
+    u = jnp.mod(u_base + shift, 1.0)
+    lo = jnp.asarray(box.lo, u_base.dtype)
+    hi = jnp.asarray(box.hi, u_base.dtype)
+    return lo + u * (hi - lo)
 
 
 def linspace_grid(n: int, lo: float, hi: float, dtype=jnp.float32):

@@ -117,3 +117,12 @@ def test_qho_2d_symmetry_loss_active_only_when_equal():
     assert np.all(out["history"]["symmetry"] == 0.0)
     out = train_qho_2d(qho_cfg(nx=1, ny=1, epochs=2, chunk=2))
     assert out["history"]["symmetry"][-1] >= 0.0
+
+
+def test_qho_2d_trainable_energy_rejected_for_drm_wan():
+    import pytest
+
+    for method in ("DRM", "WAN"):
+        with pytest.raises(ValueError, match="trainable_energy"):
+            train_qho_2d(qho_cfg(method=method, trainable_energy=True,
+                                 epochs=1, chunk=1))
