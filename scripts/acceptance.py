@@ -107,8 +107,32 @@ def run_kh(epochs=10000):
     return out
 
 
+def run_poisson_5d_drm_rqmc(epochs=20000):
+    """Round-2 row (VERDICT.md item 5): randomised-QMC resampling makes 5D
+    DRM pass 1e-3 at <= 20k epochs (round 1 needed 200k epochs / 29 min)."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    t0 = time.time()
+    out = train_poisson_nd(PoissonConfig(
+        dim=5, method="DRM", bc_mode="FBC", epochs=epochs, chunk=2000,
+        n_interior=32768, sampler="sobol", resample=True,
+        lr_schedule="cosine",
+    ))
+    record("poisson_5d_drm_sobol_resample", {
+        "rel_l2": out["rel_l2"], "best_epoch": out["best_epoch"],
+        "epochs": epochs, "n_interior": 32768, "sampler": "sobol",
+        "resample": True, "lr_schedule": "cosine",
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-3 at <= 20k epochs",
+        "pass": out["rel_l2"] <= 1e-3,
+    })
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "r2-rqmc"):
+        run_poisson_5d_drm_rqmc()
     if which in ("all", "poisson"):
         run_poisson(1, "PINN")
         run_poisson(5, "PINN")
