@@ -165,9 +165,13 @@ def sweep_qho_2d_energy(
             ("WAN", ("FN", "OG")),
         ):
             for technique in techniques:
+                # the reference passes trainable_energy=True for every
+                # method but only PINN consumes it (QHO_2D_Energy.py:287,
+                # 382); we make that explicit — DRM/WAN train with fixed E
                 cfg = QHO2DConfig(
                     nx=nx, ny=ny, method=method, technique=technique,
-                    epochs=epochs, trainable_energy=True, energy_variant=True,
+                    epochs=epochs, trainable_energy=(method == "PINN"),
+                    energy_variant=True,
                     **overrides,
                 )
                 rows.append(run_qho_2d(cfg, save_dir=save_dir)["row"])

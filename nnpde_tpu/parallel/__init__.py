@@ -1,6 +1,8 @@
 from .mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_dcn,
+    dp_dcn_step,
     data_sharding,
     replicated_sharding,
     shard_batch,

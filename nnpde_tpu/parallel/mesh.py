@@ -41,6 +41,68 @@ def make_mesh_2d(dp: int, tp: int, axes=("data", "model")) -> Mesh:
     return Mesh(devs, axes)
 
 
+def make_mesh_dcn(n_slices: int, per_slice: Optional[int] = None,
+                  axes=("dcn", "data")) -> Mesh:
+    """Multi-slice 2D mesh: outer axis over DCN (slice-to-slice network),
+    inner axis over ICI within each slice.
+
+    On real multi-slice TPU deployments devices carry a ``slice_index``
+    attribute — we group by it so rows of the mesh are whole slices and the
+    outer collectives ride DCN while the inner ones ride ICI.  On
+    single-slice / virtual-CPU backends the devices are reshaped
+    ``(n_slices, per_slice)``; the collective structure (hierarchical
+    reduction, see :func:`dp_dcn_step`) is identical, which is what the
+    8-device CPU-mesh tests and the driver dry-run validate.
+
+    The reference is single-device (KH_1D.py:17); this is the last box of
+    SURVEY.md §5's distributed row ("ICI single-slice; optional DCN").
+    """
+    devs = jax.devices()
+    by_slice: dict = {}
+    for d in devs:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(by_slice) >= n_slices:
+        # real multi-slice: one mesh row per hardware slice
+        rows = [by_slice[k] for k in sorted(by_slice)[:n_slices]]
+        width = per_slice or min(len(r) for r in rows)
+        grid = np.array([r[:width] for r in rows])
+    else:
+        width = per_slice or len(devs) // n_slices
+        if n_slices * width > len(devs):
+            raise ValueError(
+                f"need {n_slices}x{width} devices, have {len(devs)}"
+            )
+        grid = np.array(devs[: n_slices * width]).reshape(n_slices, width)
+    return Mesh(grid, axes)
+
+
+def dp_dcn_step(loss_fn, mesh: Mesh, dcn_axis: str = "dcn",
+                ici_axis: str = "data"):
+    """Hierarchical data-parallel value+grad over a (dcn, ici) mesh.
+
+    The batch is sharded over BOTH axes; the reduction is explicitly
+    two-level — ``pmean`` over the ICI axis first (fast intra-slice
+    all-reduce), then ``pmean`` over the DCN axis (one slow inter-slice
+    all-reduce of already-reduced values) — so the DCN link carries one
+    scalar/grad-tree per step, never per-chip partials.
+    """
+    def local(params, X):
+        def objective(p):
+            local_loss = loss_fn(p, X)
+            return jax.lax.pmean(
+                jax.lax.pmean(local_loss, ici_axis), dcn_axis
+            )
+
+        return jax.value_and_grad(objective)(params)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P((dcn_axis, ici_axis))),
+        out_specs=(P(), P()),
+    )
+
+
 def tp_shard_mlp(params, mesh: Mesh, axis: str = "model"):
     """Megatron-style tensor parallelism for the MLP parameter list.
 

@@ -60,6 +60,11 @@ class QHO2DConfig:
     data_grid_n: int = 50
     n_boundary: int = 200
     trainable_energy: bool = False     # QHO_2D_Energy.py variant
+    # separate Adam lr for the E leaf (optax.multi_transform).  The
+    # reference shares one lr between net and E (QHO_2D_Energy.py:295) and
+    # the eigenvalue drifts ~11% over long runs; a 10-100x smaller E lr
+    # keeps it pinned.  None = shared lr (reference behaviour).
+    energy_lr: Optional[float] = None
     energy_variant: bool = False       # use the Energy-script weight table
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
@@ -222,9 +227,31 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         def eval_fn(params, key):
             return eval_fn_net(params["net"])
 
+        optimizer = make_optimizer(
+            cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
+        )
+        if use_E_param and cfg.energy_lr is not None:
+            import optax
+
+            # per-leaf lr: the net keeps the scheduled Adam, the E scalar
+            # gets its own (smaller) one — fixes the long-run E drift
+            labels = {
+                "net": jax.tree_util.tree_map(lambda _: "net", params["net"]),
+                "E": "E",
+            }
+            optimizer = optax.multi_transform(
+                {
+                    "net": optimizer,
+                    "E": make_optimizer(
+                        cfg.energy_lr, schedule=cfg.lr_schedule,
+                        total_steps=cfg.epochs,
+                    ),
+                },
+                labels,
+            )
         result = fit(
             loss_fn, eval_fn, params,
-            epochs=cfg.epochs, optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs),
+            epochs=cfg.epochs, optimizer=optimizer,
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
         )
         if cfg.LBFGS:

@@ -155,3 +155,77 @@ def test_dp_tp_2d_mesh_training_matches_single_device(setup):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-5, atol=1e-6)
+
+
+def test_dcn_mesh_shape_and_axes():
+    from nnpde_tpu.parallel import make_mesh_dcn
+
+    mesh = make_mesh_dcn(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("dcn", "data")
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_dcn(4, 4)
+
+
+def test_dcn_hierarchical_step_matches_single_device(setup):
+    """dp-over-DCN x dp-over-ICI: the two-level pmean must be numerically
+    the global mean (loss AND grads), same as one device."""
+    from nnpde_tpu.parallel import dp_dcn_step, make_mesh_dcn
+
+    model, params, X, f, loss_fn = setup
+    mesh = make_mesh_dcn(2, 4)
+
+    def loss_x(p, Xb):
+        jet = model.fields(p, Xb)
+        return pinn_poisson(jet.lap, phys.rhs_f_for_u_sin(Xb, 2.0, [1, 1]))
+
+    loss_ref, grads_ref = jax.value_and_grad(
+        lambda p: loss_x(p, X)
+    )(params)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Xs = jax.device_put(X, NamedSharding(mesh, P(("dcn", "data"))))
+    ps = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+    )
+    loss_d, grads_d = jax.jit(dp_dcn_step(loss_x, mesh))(ps, Xs)
+    np.testing.assert_allclose(float(loss_ref), float(loss_d), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_ref),
+                    jax.tree_util.tree_leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_dcn_training_converges(setup):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnpde_tpu.parallel import dp_dcn_step, make_mesh_dcn
+
+    model, params, X, f, loss_fn = setup
+    mesh = make_mesh_dcn(2, 4)
+
+    def loss_x(p, Xb):
+        jet = model.fields(p, Xb)
+        return pinn_poisson(jet.lap, phys.rhs_f_for_u_sin(Xb, 2.0, [1, 1]))
+
+    step = dp_dcn_step(loss_x, mesh)
+    opt = optax.adam(1e-3)
+    ps = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+    )
+    Xs = jax.device_put(X, NamedSharding(mesh, P(("dcn", "data"))))
+    opt_state = opt.init(ps)
+
+    @jax.jit
+    def train(ps, opt_state):
+        loss, grads = step(ps, Xs)
+        updates, opt_state = opt.update(grads, opt_state, ps)
+        return optax.apply_updates(ps, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        ps, opt_state, loss = train(ps, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
