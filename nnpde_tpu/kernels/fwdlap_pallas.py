@@ -79,6 +79,22 @@ def _dot(a, b, precision=jax.lax.Precision.HIGHEST):
     )
 
 
+def _dot3(a, b):
+    """bf16x3 matmul (~f32-accurate, 3 single-pass MXU dots).
+
+    Mosaic rejects Precision.HIGH, so the classic splitting is done by
+    hand: x = hi(x) + lo(x) with hi = bf16 round-trip; the (lo, lo) term
+    is below f32 noise and dropped.  Measured lap rel-err ~3e-5 vs the
+    6-pass HIGHEST XLA path at half the MXU cost."""
+    prec = jax.lax.Precision.DEFAULT
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return (_dot(a_hi, b_hi, prec) + _dot(a_hi, b_lo, prec)
+            + _dot(a_lo, b_hi, prec))
+
+
 # ------------------------------------------------------- forward stream sweep
 def _fwd_streams(X, Ws, bs, d, T, act, keep_pre=False,
                  precision=jax.lax.Precision.HIGHEST):
@@ -121,6 +137,89 @@ def _fwd_streams(X, Ws, bs, d, T, act, keep_pre=False,
     return S, pre_acts
 
 
+# --------------------------------------------------- forward kernel (v2, 2D)
+def _forward_kernel2(d, K, T, activation, fwd_dot, X_ref, *refs):
+    """VMEM-resident jet forward with flat 2D streams.
+
+    The XLA forward is HBM-bound (~5 ms at the bench workload: every layer
+    materialises its (N,w)/(N,d,w) streams); here the whole layer pipeline
+    stays in VMEM and only the (T, 128)-padded jet leaves the chip
+    (N x 512 B vs ~2 GB).  Dots run at bf16x3 precision (Mosaic rejects Precision.HIGH) —
+    bf16x3 via _dot3; measured lap rel-err ~3e-5 vs HIGHEST, far below solver noise floors.
+
+    Inputs: X (1,T,d), W0 (d,w), W1..W_{K-2} (w,w), wlast_row (1,w),
+    b0..b_{K-2} (1,w), blast (1,1).  Output: (1, T, 8) with lanes
+    0..d+1 = (value, grad_0..grad_{d-1}, lap).  ``fwd_dot``: 'bf16x3'
+    (exact-f32 class, lap rel-err ~5e-6) or 'default' (1-pass bf16 dots,
+    lap rel-err ~2e-3, ~2x faster — pair with a bf16x3 tail phase for
+    final accuracy, cf. the hybrid compute_dtype machinery).
+    """
+    act_name = activation
+    n_w = K - 1
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    blast = refs[2 * n_w + 1][...]                    # (1, 1)
+    out_ref = refs[2 * n_w + 2]
+
+    X = X_ref[0]
+    w0 = Ws[0]
+    width = w0.shape[1]
+    if fwd_dot == "bf16x3":
+        dot = _dot3
+    else:
+        dot = lambda a, b: _dot(a, b, jax.lax.Precision.DEFAULT)
+    v = dot(X, w0) + bs[0]
+    Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
+    l = jnp.zeros((T, width), jnp.float32)
+    for k in range(1, K - 1):
+        pack = _act_pack(act_name, v)
+        A, Jmid, lmid = _nl_mid_pack(pack, Js, l)
+        v = dot(A, Ws[k]) + bs[k]
+        Js = [dot(Jm, Ws[k]) for Jm in Jmid]
+        l = dot(lmid, Ws[k])
+    pack = _act_pack(act_name, v)
+    A, Jmid, lmid = _nl_mid_pack(pack, Js, l)
+    # scalar projection via VPU lane reduction (no (w,1) matmul in Mosaic)
+    value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
+    grads = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
+    lap = jnp.sum(lmid * wlast_row, axis=1, keepdims=True)
+    # assemble the (T, 128) output with lane masks — narrow lane concats
+    # are unsupported by Mosaic, broadcasts + selects are free
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+    out = jnp.where(lane == 0, value, 0.0)
+    for i, g in enumerate(grads):
+        out = out + jnp.where(lane == 1 + i, g, 0.0)
+    out = out + jnp.where(lane == d + 1, lap, 0.0)
+    out_ref[...] = out[None]
+
+
+def _run_forward2(flat_params, X, activation, tile, interpret,
+                  fwd_dot="bf16x3"):
+    Ws, bs = _split_params(flat_params)
+    d = X.shape[1]
+    K = len(Ws)
+    Xp, N, Np = _pad(X, tile)
+    n_tiles = Np // tile
+    Xt = Xp.reshape(n_tiles, tile, d)
+    W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
+    b_in = list(bs[:-1]) + [bs[-1].reshape(1, 1)]
+    kernel = functools.partial(_forward_kernel2, d, K, tile, activation,
+                               fwd_dot)
+    in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
+    in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+    in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, 8), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, 8), jnp.float32),
+        interpret=interpret,
+    )(Xt, *W_in, *b_in)
+    return out.reshape(Np, 8)[:N, :d + 2]
+
+
 # ------------------------------------------------------------ forward kernel
 def _forward_kernel(d, n_layers, T, activation, X_ref, *refs):
     Ws = [refs[i][...] for i in range(n_layers)]
@@ -132,77 +231,206 @@ def _forward_kernel(d, n_layers, T, activation, X_ref, *refs):
 
 
 # ----------------------------------------------------------- backward kernel
-def _backward_kernel(d, n_layers, T, activation, X_ref, *refs):
-    """Recompute forward in VMEM, then reverse; accumulate dW/db over tiles."""
-    Ws = [refs[i][...] for i in range(n_layers)]
-    bs = [refs[n_layers + i][...] for i in range(n_layers)]
-    ct_ref = refs[2 * n_layers]                       # (1, d+2, T)
-    dW_refs = refs[2 * n_layers + 1: 3 * n_layers + 1]
-    db_refs = refs[3 * n_layers + 1: 4 * n_layers + 1]
-    act = _act_fns(activation)
-    s, s1f, s2f, s3f = act
+def _dg_rows(a, b, prec=jax.lax.Precision.DEFAULT):
+    """Contract over the batch (row) dim: (T, m) x (T, n) -> (m, n).
 
-    X = X_ref[0]
-    prec = jax.lax.Precision.DEFAULT
-    _, pre_acts = _fwd_streams(X, Ws, bs, d, T, act, keep_pre=True,
-                               precision=prec)
+    Expressed as a dot_general so Mosaic lowers it as a transposed-LHS
+    matmul — no explicit VMEM transpose copy."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _dg_cols(a, w, prec=jax.lax.Precision.DEFAULT):
+    """Pull a cotangent back through W: (T, n) x (m, n) -> (T, m)
+    (i.e. a @ W^T without materialising the transpose)."""
+    return jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _act_pack(name, v):
+    """(s, s', s'', s''') evaluated with the minimal transcendental count.
+
+    For sin the four derivatives are +-sin/+-cos — two transcendentals,
+    not four; same sharing for tanh (one tanh) and gelu (one exp+erf).
+    This matters because the Pallas backward is VPU-bound (measured: bf16
+    dots change nothing, so the MXU is not the limiter)."""
+    if name == "sin":
+        sv, cv = jnp.sin(v), jnp.cos(v)
+        return sv, cv, -sv, -cv
+    if name == "tanh":
+        t = jnp.tanh(v)
+        u = 1.0 - t * t
+        return t, u, -2.0 * t * u, u * (6.0 * t * t - 2.0)
+    if name == "gelu":
+        import jax as _jax
+
+        inv_sqrt2pi = 0.3989422804014327
+        pdf = inv_sqrt2pi * jnp.exp(-0.5 * v * v)
+        cdf = 0.5 * (1.0 + _jax.scipy.special.erf(
+            v / jnp.sqrt(2.0).astype(v.dtype)))
+        return (v * cdf, cdf + v * pdf, (2.0 - v * v) * pdf,
+                (v * v * v - 4.0 * v) * pdf)
+    raise ValueError(f"Unknown activation {name!r}")
+
+
+def _sum_sq(Js):
+    q = None
+    for Ji in Js:
+        q = Ji * Ji if q is None else q + Ji * Ji
+    return q
+
+
+def _nl_mid_pack(pack, Js, l):
+    """Forward through the nonlinearity stage given a derivative pack."""
+    s0, s1v, s2v, _ = pack
+    return s0, [s1v * Ji for Ji in Js], s1v * l + s2v * _sum_sq(Js)
+
+
+def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
+    """Backward through the stage, reusing the shared derivative pack and
+    the precomputed q = sum_i J_i^2."""
+    _, s1v, s2v, s3v = pack
+    dl = s1v * dlmid
+    dq = s2v * dlmid
+    dv = s1v * dA + (s2v * l + s3v * q) * dlmid
+    dJs_out = []
+    for Ji, dJm in zip(Js, dJmid):
+        dv = dv + s2v * Ji * dJm
+        dJs_out.append(s1v * dJm + 2.0 * Ji * dq)
+    return dv, dJs_out, dl
+
+
+def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
+                     X_ref, *refs):
+    """Recompute the forward in VMEM with flat 2D (T, w) streams, then
+    reverse in the same tile; accumulate dW/db across TPU's sequential grid.
+
+    Round-1 postmortem: the 3D stacked-stream variant spent its time on
+    VMEM relayout copies (jnp.stack / (d+2,T,w)<->((d+2)T,w) reshapes) and
+    no longer compiles on the remote Mosaic helper.  This version keeps
+    every stream a separate 2D value, uses dot_general for all transposed
+    contractions, and leaves the narrow (w,1) output projection to the
+    host-side rule (ct arrives pre-multiplied; see _bwd_rule).
+
+    ``concat_streams``: merge the d+2 per-stage dots into one ((d+2)T, w)
+    dot via sublane concat (fewer MXU pipeline drains).  ``dot_dtype``:
+    'bfloat16' casts dot INPUTS to bf16 (f32 accumulate) — gradients are
+    means over >= 1e5 points, so the quantisation noise averages out.
+
+    Inputs: X (1,T,d) block, W0 (d,w), W1..W_{K-2} (w,w), WlastT (1,w),
+    b0..b_{K-2} (1,w), ct (1,T,d+2).
+    Outputs (accumulated): dW0 (d,w), dW1.. (w,w), dWlast_row (1,w),
+    db0..b_{K-2} (1,w).
+    """
+    act = _act_fns(activation)
+    n_w = K - 1          # W0 .. W_{K-2} passed whole; W_{K-1} as row
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]                       # (1, w)
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    ct_ref = refs[2 * n_w + 1]                       # (1, T, d+2)
+    out_refs = refs[2 * n_w + 2:]
+    dW_refs = out_refs[:n_w]
+    dWlast_ref = out_refs[n_w]                       # (1, w)
+    db_refs = out_refs[n_w + 1:]
 
     first = pl.program_id(0) == 0
-    for k in range(n_layers):
-        @pl.when(first)
-        def _(k=k):
-            dW_refs[k][...] = jnp.zeros_like(dW_refs[k])
-            db_refs[k][...] = jnp.zeros_like(db_refs[k])
 
-    # cotangent (1, d+2, T) -> dS (d+2, T, 1)
-    dS = ct_ref[0][..., None]
+    @pl.when(first)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
 
-    for k in range(n_layers - 1, 0, -1):
-        pre = pre_acts[k - 1]
-        v = pre[0]
-        s1v, s2v, s3v = s1f(v), s2f(v), s3f(v)
-        lrow = pre[d + 1]
-        sumJ2 = jnp.zeros_like(v)
-        for i in range(d):
-            sumJ2 = sumJ2 + pre[1 + i] * pre[1 + i]
-        # post-activation stack A (input of linear k)
-        A = jnp.stack(
-            [s(v)]
-            + [s1v * pre[1 + i] for i in range(d)]
-            + [s1v * lrow + s2v * sumJ2],
-            axis=0,
+    prec = jax.lax.Precision.DEFAULT
+    cast = ((lambda x: x.astype(jnp.bfloat16))
+            if dot_dtype == "bfloat16" else (lambda x: x))
+    X = X_ref[0]                                      # (T, d)
+    w0 = Ws[0]
+    width = w0.shape[1]
+    Ws_c = [cast(W) for W in Ws]
+
+    def fwd_linear(k, A, Jmid, lmid):
+        """One ((d+2)T, w) dot or d+2 separate dots."""
+        W = Ws_c[k]
+        if concat_streams:
+            S = jnp.concatenate([A] + Jmid + [lmid], axis=0)
+            O = _dot(cast(S), W, prec)
+            v = O[:T] + bs[k]
+            Js = [O[(1 + i) * T:(2 + i) * T] for i in range(d)]
+            return v, Js, O[(d + 1) * T:]
+        v = _dot(cast(A), W, prec) + bs[k]
+        Js = [_dot(cast(Jm), W, prec) for Jm in Jmid]
+        return v, Js, _dot(cast(lmid), W, prec)
+
+    # ---- forward recompute; per-stage packs and mid streams stay in VMEM
+    # (the backward reuses them — no second nonlinearity evaluation)
+    v = _dot(cast(X), cast(w0), prec) + bs[0]
+    Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
+    l = jnp.zeros((T, width), jnp.float32)
+    saved = []
+    for k in range(1, K - 1):
+        pack = _act_pack(activation, v)
+        q = _sum_sq(Js)
+        A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
+            pack[1] * l + pack[2] * q
         )
-        win = Ws[k].shape[0]
-        wout = Ws[k].shape[1]
-        A2 = A.reshape((d + 2) * T, win)
-        dS2 = dS.reshape((d + 2) * T, wout)
-        dW_refs[k][...] += _dot(A2.T, dS2, prec)
-        db_refs[k][...] += jnp.sum(dS[0], axis=0, keepdims=True)
-        dA = _dot(dS2, Ws[k].T, prec).reshape(d + 2, T, win)
-        # elementwise backward through
-        #   value~ = s(v);  J~_i = s1 J_i;  l~ = s1 l + s2 sum_i J_i^2
-        dv_t = dA[0]
-        dl_t = dA[d + 1]
-        dv = s1v * dv_t + (s2v * lrow + s3v * sumJ2) * dl_t
-        dJs = []
-        for i in range(d):
-            Ji = pre[1 + i]
-            dv = dv + s2v * Ji * dA[1 + i]
-            dJs.append(s1v * dA[1 + i] + 2.0 * s2v * Ji * dl_t)
-        dl = s1v * dl_t
-        dS = jnp.stack([dv] + dJs + [dl], axis=0)
+        saved.append((Js, l, q, pack, Jmid, lmid))
+        v, Js, l = fwd_linear(k, A, Jmid, lmid)
 
-    # first layer: v0 = X @ W0 + b0 ; J0_i = broadcast W0[i, :] ; l0 = 0
-    dv0 = dS[0]
-    dW0 = _dot(X.T, dv0, prec)
-    width0 = Ws[0].shape[1]
-    # dW0[i, :] += sum_T dS_Ji — one mask matmul (d, (d+2)T) @ dS2d
-    dS2 = dS.reshape((d + 2) * T, width0)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (d, (d + 2) * T), 0)
-    col_grp = jax.lax.broadcasted_iota(jnp.int32, (d, (d + 2) * T), 1) // T
-    sel = jnp.where(col_grp == row_id + 1, 1.0, 0.0)
-    dW_refs[0][...] += dW0 + _dot(sel, dS2, prec)
-    db_refs[0][...] += jnp.sum(dv0, axis=0, keepdims=True)
+    # ---- final stage: nonlinearity + scalar projection w_last (w, 1)
+    ct = ct_ref[0]                                    # (T, d+2)
+    ct_v = ct[:, 0:1]
+    ct_g = [ct[:, 1 + i:2 + i] for i in range(d)]
+    ct_l = ct[:, d + 1:d + 2]
+    pack = _act_pack(activation, v)
+    q = _sum_sq(Js)
+    A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
+        pack[1] * l + pack[2] * q
+    )
+    G = A * ct_v + lmid * ct_l
+    for Jm, cg in zip(Jmid, ct_g):
+        G = G + Jm * cg
+    dWlast_ref[...] += jnp.sum(G, axis=0, keepdims=True)
+    # pullback through the projection: each mid cotangent is ct * w_row
+    dAm = ct_v * wlast_row
+    dJm = [cg * wlast_row for cg in ct_g]
+    dlm = ct_l * wlast_row
+    dv, dJs, dl = _nl_bwd_pack(pack, Js, l, q, dAm, dJm, dlm)
+
+    # ---- hidden linear layers K-2 .. 1
+    for k in range(K - 2, 0, -1):
+        Js_e, l_e, q, pack, Jmid, lmid = saved[k - 1]
+        A = pack[0]
+        if concat_streams:
+            Astk = cast(jnp.concatenate([A] + Jmid + [lmid], axis=0))
+            Dstk = cast(jnp.concatenate([dv] + dJs + [dl], axis=0))
+            dW_refs[k][...] += _dg_rows(Astk, Dstk, prec)
+            db_refs[k][...] += jnp.sum(dv, axis=0, keepdims=True)
+            P = _dg_cols(Dstk, Ws_c[k], prec)
+            dAm = P[:T]
+            dJm = [P[(1 + i) * T:(2 + i) * T] for i in range(d)]
+            dlm = P[(d + 1) * T:]
+        else:
+            dW = (_dg_rows(cast(A), cast(dv), prec)
+                  + _dg_rows(cast(lmid), cast(dl), prec))
+            for Jm_s, dJ in zip(Jmid, dJs):
+                dW = dW + _dg_rows(cast(Jm_s), cast(dJ), prec)
+            dW_refs[k][...] += dW
+            db_refs[k][...] += jnp.sum(dv, axis=0, keepdims=True)
+            dAm = _dg_cols(cast(dv), Ws_c[k], prec)
+            dJm = [_dg_cols(cast(dJ), Ws_c[k], prec) for dJ in dJs]
+            dlm = _dg_cols(cast(dl), Ws_c[k], prec)
+        dv, dJs, dl = _nl_bwd_pack(pack, Js_e, l_e, q, dAm, dJm, dlm)
+
+    # ---- input layer: v0 = X @ W0 + b0; J0_i = W0[i, :] broadcast; l0 = 0
+    dW0 = _dg_rows(cast(X), cast(dv), prec)
+    rows = [jnp.sum(dJ, axis=0, keepdims=True) for dJ in dJs]
+    dW0 = dW0 + jnp.concatenate(rows, axis=0)         # (d, w) sublane concat
+    dW_refs[0][...] += dW0.astype(jnp.float32)
+    db_refs[0][...] += jnp.sum(dv, axis=0, keepdims=True)
 
 
 # --------------------------------------------------------------- entry points
@@ -243,42 +471,76 @@ def _run_forward(flat_params, X, activation, tile, interpret):
     return out[:N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fwdlap_core(flat_params, X, activation, tile, bwd_tile, interpret):
-    return _run_forward(flat_params, X, activation, tile, interpret)
+def _primal(flat_params, X, activation, tile, interpret, fwd_impl):
+    """Primal (N, d+2) jet streams.
+
+    Default 'xla': the stream-propagation forward fused by XLA — measured
+    bandwidth-optimal (~1.6 ms at the bench workload) vs 7.6 ms for the
+    6-pass HIGHEST Pallas forward kernel; under custom_vjp XLA saves no
+    residuals, so there is nothing for the kernel forward to win back.
+    'pallas' keeps the VMEM kernel (A/B evidence, BENCHMARKS.md).
+    """
+    if fwd_impl == "pallas":
+        return _run_forward(flat_params, X, activation, tile, interpret)
+    if fwd_impl.startswith("pallas2"):
+        mode = "default" if fwd_impl.endswith(":default") else "bf16x3"
+        return _run_forward2(flat_params, X, activation, tile, interpret,
+                             fwd_dot=mode)
+    from ..ops.fwdlap import mlp_fwdlap
+
+    Ws, bs = _split_params(flat_params)
+    jet = mlp_fwdlap(list(zip(Ws, bs)), X, activation)
+    return jnp.concatenate(
+        [jet.value[:, None], jet.grad, jet.lap[:, None]], axis=1
+    )
 
 
-def _fwd_rule(flat_params, X, activation, tile, bwd_tile, interpret):
-    return _run_forward(flat_params, X, activation, tile, interpret), (
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fwdlap_core(flat_params, X, activation, tile, bwd_tile, interpret,
+                 fwd_impl, concat_streams, dot_dtype):
+    return _primal(flat_params, X, activation, tile, interpret, fwd_impl)
+
+
+def _fwd_rule(flat_params, X, activation, tile, bwd_tile, interpret,
+              fwd_impl, concat_streams, dot_dtype):
+    return _primal(flat_params, X, activation, tile, interpret, fwd_impl), (
         flat_params,
         X,
     )
 
 
-def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, res, ct):
+def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, fwd_impl,
+              concat_streams, dot_dtype, res, ct):
     flat_params, X = res
     tile = bwd_tile
     Ws, bs = _split_params(flat_params)
     d = X.shape[1]
-    n_layers = len(Ws)
+    K = len(Ws)
     N0 = X.shape[0]
     Xp, N, Np = _pad(X, tile)
     n_tiles = Np // tile
     if Np != N0:
         ct = jnp.concatenate([ct, jnp.zeros((Np - N0, d + 2), ct.dtype)], 0)
-    ct = ct.reshape(n_tiles, tile, d + 2).transpose(0, 2, 1)  # (nt, d+2, T)
+    ct_t = ct.reshape(n_tiles, tile, d + 2)
     Xt = Xp.reshape(n_tiles, tile, d)
-    kernel = functools.partial(_backward_kernel, d, n_layers, tile, activation)
+    # the kernel takes W_{K-1} (w, 1) as its row form (1, w) and returns
+    # dW_{K-1} as a row too — narrow (w, 1) shapes never enter Mosaic
+    W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
+    b_in = list(bs[:-1])
+    kernel = functools.partial(_backward_kernel, d, K, tile, activation,
+                               concat_streams, dot_dtype)
     in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
-    in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in Ws]
-    in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs]
-    in_specs += [pl.BlockSpec((1, d + 2, tile), lambda i: (i, 0, 0))]
-    out_specs = [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in Ws] + [
-        pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in bs
-    ]
-    out_shape = [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in Ws] + [
-        jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs
-    ]
+    in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+    in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+    in_specs += [pl.BlockSpec((1, tile, d + 2), lambda i: (i, 0, 0))]
+    out_specs = (
+        [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in W_in]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b_in]
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -286,9 +548,12 @@ def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, res, ct):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(Xt, *Ws, *bs, ct)
-    dWs = tuple(outs[:n_layers])
-    dbs = tuple(outs[n_layers:])
+    )(Xt, *W_in, *b_in, ct_t)
+    dWs = tuple(outs[:K - 1]) + (outs[K - 1].reshape(Ws[-1].shape),)
+    # db for the projection layer never enters the kernel: b_last only
+    # shifts the value stream, so its grad is just sum of the value ct
+    db_last = jnp.sum(ct[:, 0]).reshape(bs[-1].shape)
+    dbs = tuple(outs[K:]) + (db_last,)
     return (dWs + dbs, jnp.zeros_like(X))
 
 
@@ -303,13 +568,23 @@ def mlp_fwdlap_pallas(
     tile: int = 1024,
     bwd_tile: int = 512,
     interpret: bool | None = None,
+    fwd_impl: str = "xla",
+    concat_streams: bool = True,
+    dot_dtype: str = "float32",
 ):
-    """Fused (u, grad u, lap u) via the Pallas kernel.
+    """Fused (u, grad u, lap u) with the Pallas recompute-in-VMEM backward.
+
+    Forward: XLA stream propagation by default (bandwidth-optimal, exact
+    f32); ``fwd_impl='pallas'`` uses the VMEM forward kernel instead.
+    Backward: one Pallas pass per tile — recompute the forward in VMEM,
+    reverse in-tile, accumulate dW/db across the sequential grid.  No jet
+    cotangent stream ever touches HBM (the XLA backward materialises ~25
+    of them — BENCHMARKS.md).
 
     Returns the same :class:`~nnpde_tpu.ops.fwdlap.Jet` as the XLA path;
-    off-TPU it runs in interpreter mode (tests).  Biases are carried as
-    (1, w) inside the kernel (TPU prefers 2D); the public params layout is
-    unchanged.
+    off-TPU the kernel runs in interpreter mode (tests).  Biases are
+    carried as (1, w) inside the kernel (TPU prefers 2D); the public
+    params layout is unchanged.
     """
     from ..ops.fwdlap import Jet
 
@@ -317,6 +592,7 @@ def mlp_fwdlap_pallas(
         interpret = not pallas_available()
     Ws = tuple(W for W, _ in params)
     bs = tuple(b.reshape(1, -1) for _, b in params)
-    out = _fwdlap_core(Ws + bs, X, activation, tile, bwd_tile, interpret)
+    out = _fwdlap_core(Ws + bs, X, activation, tile, bwd_tile, interpret,
+                       fwd_impl, concat_streams, dot_dtype)
     d = X.shape[1]
     return Jet(value=out[:, 0], grad=out[:, 1:1 + d], lap=out[:, 1 + d])
