@@ -63,6 +63,14 @@ class IPW2DConfig:
     # step instead of the fixed meshgrid (removes the fixed-grid weak-form
     # quadrature bias; the Poisson WAN does this, Poisson_ND.py:244-253)
     wan_resample: bool = False
+    # WAN only: saddle-point update rule (train/trainer.py fit_wan) —
+    # alternating GDA (the reference protocol), extragradient, or optimistic
+    minimax: str = "alternating"
+    # WAN only: critic lr (None = same as cfg.lr).  Setting v_lr > lr gives
+    # the classic two-timescale GDA (the KH reference uses 2x, KH_1D.py:336)
+    v_lr: Optional[float] = None
+    # WAN only: EMA decay for the averaged primal iterate (0 disables)
+    u_ema: float = 0.0
     grid_n: int = 200
     data_grid_n: int = 50
     n_boundary: int = 200
@@ -317,10 +325,12 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
                 cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
             ),
             v_optimizer=make_optimizer(
-                cfg.lr, schedule=cfg.lr_schedule,
+                cfg.v_lr if cfg.v_lr is not None else cfg.lr,
+                schedule=cfg.lr_schedule,
                 total_steps=cfg.epochs * cfg.v_steps,
             ),
             key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
+            minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
     else:
         optimizer = make_optimizer(

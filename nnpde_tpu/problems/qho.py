@@ -36,7 +36,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import qho as phys
 from ..sampling import linspace_grid, mid_fraction_every_kth
-from ..train import fit, fit_wan, lbfgs_polish
+from ..train import fit, fit_wan, lbfgs_fit, lbfgs_polish
 
 
 def _qho_factor(technique: str, n: int, x_max: float):
@@ -63,6 +63,11 @@ class QHO1DConfig:
     lr: float = 1e-3
     layers: Tuple[int, ...] = (1, 200, 200, 200, 1)
     LBFGS: bool = False
+    # 'replace': L-BFGS *instead of* Adam — the mode the reference actually
+    # uses for QHO-1D (QHO_1D_PINN_DRM.py:437-439).  'polish': Adam for
+    # cfg.epochs then an L-BFGS tail from the best Adam iterate.
+    lbfgs_mode: str = "polish"         # polish | replace
+    lbfgs_iters: int = 500
     method: str = "DRM"               # PINN | DRM
     technique: str = "BC"             # BC | OG | FN
     grid_n: int = 1000
@@ -143,13 +148,26 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
         u = model.apply_batch(params, x_grid)
         return jnp.mean((u - u_exact) ** 2)
 
-    result = fit(
-        loss_fn, eval_fn, params,
-        epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
-        key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
-    )
-    if cfg.LBFGS:
-        polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params, max_iter=20)
+    if cfg.LBFGS and cfg.lbfgs_mode == "replace":
+        # the reference's QHO-1D mode: L-BFGS from scratch, no Adam at all
+        # (QHO_1D_PINN_DRM.py:437-439 — torch LBFGS closure per epoch)
+        result = lbfgs_fit(
+            lambda p: loss_terms(p)[0], lambda p: eval_fn(p, None), params,
+            max_iter=cfg.lbfgs_iters,
+        )
+    else:
+        result = fit(
+            loss_fn, eval_fn, params,
+            epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+            key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+        )
+    if cfg.LBFGS and cfg.lbfgs_mode == "polish":
+        # polish from the BEST Adam iterate (round 1 polished the final
+        # iterate, which the eval metric had already rejected — a no-op)
+        polished, _ = lbfgs_polish(
+            lambda p: loss_terms(p)[0], result.best_params,
+            max_iter=cfg.lbfgs_iters,
+        )
         final_m = float(eval_fn(polished, None))
         if final_m < result.best_metric:
             result = result._replace(

@@ -177,18 +177,48 @@ def fit_wan(
     progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
     init_carry=None,
     start_epoch: int = 0,
+    minimax: str = "alternating",    # alternating | extragradient | optimistic
+    u_ema: float = 0.0,              # >0: track an EMA of u and eval it too
 ) -> FitResult:
     """Fused adversarial training step: v_steps critic updates then one
-    primal update, all inside one compiled scan step."""
+    primal update, all inside one compiled scan step.
+
+    ``minimax`` selects the saddle-point update rule (the reference only has
+    alternating GDA, IPW_1D_WAN.py:184-208):
+
+    * ``alternating`` — v_steps critic ascent steps then one primal step.
+    * ``extragradient`` — after v_steps-1 plain critic steps, one
+      extragradient *pair* update: gradients at (u, v) give a lookahead
+      point (u', v') (optimizer states not advanced), then the real update
+      applies the gradients evaluated at (u', v').  Converges on bilinear
+      saddle problems where GDA cycles (Korpelevich 1976).
+    * ``optimistic`` — OGDA: the optimizer consumes the extrapolated
+      gradient ``2 g_t - g_{t-1}``; the previous gradients ride the carry.
+      Single gradient evaluation per net per epoch (cheaper than EG).
+
+    ``u_ema > 0`` additionally tracks ``ema = d*ema + (1-d)*u`` and lets the
+    best-snapshot logic consider the averaged iterate — minimax dynamics
+    converge in average, not in last iterate, so the EMA is often the better
+    solution.
+    """
+    if minimax not in ("alternating", "extragradient", "optimistic"):
+        raise ValueError(f"Unknown minimax mode {minimax!r}")
     enable_compilation_cache()
     u_opt_state = u_optimizer.init(u_params)
     v_opt_state = v_optimizer.init(v_params)
+    zero_g = (jax.tree_util.tree_map(jnp.zeros_like, u_params),
+              jax.tree_util.tree_map(jnp.zeros_like, v_params))
 
     def step(carry, inputs):
-        u_params, v_params, u_opt, v_opt, best_m, best_up, best_vp, best_e = carry
+        (u_params, v_params, u_opt, v_opt, best_m, best_up, best_vp, best_e,
+         ema_up, prev_g) = carry
         epoch, k = inputs
         with jax.default_matmul_precision("highest"):
-            # ---- critic ascent (freezing replaced by grad-wrt-v only)
+            # ---- critic ascent (freezing replaced by grad-wrt-v only).
+            # EG/OGDA handle the final (paired) update themselves, so they
+            # run one fewer plain critic step here.
+            n_plain = v_steps if minimax == "alternating" else v_steps - 1
+
             def v_body(i, val):
                 v_params, v_opt, _ = val
                 vk = jax.random.fold_in(k, i)
@@ -198,29 +228,76 @@ def fit_wan(
                 return (v_params, v_opt, v_loss)
 
             v_params, v_opt, last_v_loss = jax.lax.fori_loop(
-                0, v_steps, v_body, (v_params, v_opt, jnp.asarray(0.0))
+                0, max(n_plain, 0), v_body,
+                (v_params, v_opt, jnp.asarray(0.0)),
             )
 
-            # ---- primal descent
             uk = jax.random.fold_in(k, 0x0A11CE)
-            (loss, metrics), gu = jax.value_and_grad(u_loss_fn, has_aux=True)(
-                u_params, v_params, uk
-            )
-            updates, u_opt = u_optimizer.update(gu, u_opt, u_params)
-            u_params = optax.apply_updates(u_params, updates)
+            vk = jax.random.fold_in(k, 0x0C8171C)
+            if minimax == "alternating":
+                (loss, metrics), gu = jax.value_and_grad(
+                    u_loss_fn, has_aux=True)(u_params, v_params, uk)
+                updates, u_opt = u_optimizer.update(gu, u_opt, u_params)
+                u_params = optax.apply_updates(u_params, updates)
+            elif minimax == "extragradient":
+                # gradients at the current point -> lookahead (states frozen)
+                (_, _), gu1 = jax.value_and_grad(u_loss_fn, has_aux=True)(
+                    u_params, v_params, uk)
+                gv1 = jax.grad(v_loss_fn)(v_params, u_params, vk)
+                du, _ = u_optimizer.update(gu1, u_opt, u_params)
+                dv, _ = v_optimizer.update(gv1, v_opt, v_params)
+                u_bar = optax.apply_updates(u_params, du)
+                v_bar = optax.apply_updates(v_params, dv)
+                # real update with the lookahead gradients
+                (loss, metrics), gu2 = jax.value_and_grad(
+                    u_loss_fn, has_aux=True)(u_bar, v_bar, uk)
+                gv2 = jax.grad(v_loss_fn)(v_bar, u_bar, vk)
+                last_v_loss = v_loss_fn(v_params, u_params, vk)
+                du2, u_opt = u_optimizer.update(gu2, u_opt, u_params)
+                dv2, v_opt = v_optimizer.update(gv2, v_opt, v_params)
+                u_params = optax.apply_updates(u_params, du2)
+                v_params = optax.apply_updates(v_params, dv2)
+            else:  # optimistic (OGDA)
+                (loss, metrics), gu = jax.value_and_grad(
+                    u_loss_fn, has_aux=True)(u_params, v_params, uk)
+                last_v_loss, gv = jax.value_and_grad(v_loss_fn)(
+                    v_params, u_params, vk)
+                pgu, pgv = prev_g
+                eg_u = jax.tree_util.tree_map(lambda g, p: 2.0 * g - p, gu, pgu)
+                eg_v = jax.tree_util.tree_map(lambda g, p: 2.0 * g - p, gv, pgv)
+                du, u_opt = u_optimizer.update(eg_u, u_opt, u_params)
+                dv, v_opt = v_optimizer.update(eg_v, v_opt, v_params)
+                u_params = optax.apply_updates(u_params, du)
+                v_params = optax.apply_updates(v_params, dv)
+                prev_g = (gu, gv)
 
             m = eval_fn(u_params, jax.random.fold_in(k, 0x5EED))
-        improved = m < best_m
-        best_up = tree_where(improved, u_params, best_up)
+            if u_ema > 0.0:
+                # warmup-corrected decay so early epochs average properly
+                d = jnp.minimum(u_ema, (epoch + 1.0) / (epoch + 10.0))
+                ema_up = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema_up, u_params
+                )
+                m_ema = eval_fn(ema_up, jax.random.fold_in(k, 0x3333))
+            else:
+                m_ema = jnp.asarray(jnp.inf, jnp.float32)
+        use_ema = m_ema < m
+        m_eff = jnp.where(use_ema, m_ema, m)
+        cand = tree_where(use_ema, ema_up, u_params)
+        improved = m_eff < best_m
+        best_up = tree_where(improved, cand, best_up)
         best_vp = tree_where(improved, v_params, best_vp)
-        best_m = jnp.where(improved, m, best_m)
+        best_m = jnp.where(improved, m_eff, best_m)
         best_e = jnp.where(improved, epoch, best_e)
         metrics = dict(metrics)
         metrics["total"] = loss
         metrics["l2"] = m
+        if u_ema > 0.0:
+            metrics["l2_ema"] = m_ema
         metrics["wan_loss_v"] = last_v_loss
         return (
             u_params, v_params, u_opt, v_opt, best_m, best_up, best_vp, best_e,
+            ema_up, prev_g,
         ), metrics
 
     scan_chunk = jax.jit(lambda carry, xs: jax.lax.scan(step, carry, xs))
@@ -229,12 +306,14 @@ def fit_wan(
         u_params, v_params, u_opt_state, v_opt_state,
         jnp.asarray(jnp.inf, jnp.float32), u_params, v_params,
         jnp.asarray(-1, jnp.int32),
+        u_params,                     # EMA of the primal iterate
+        zero_g,                       # previous gradients (OGDA)
     )
     carry, history, timing = _run_chunks(
         scan_chunk, carry, epochs=epochs, chunk=chunk,
         start_epoch=start_epoch, key=key, progress=progress,
     )
-    u_params, v_params, _, _, best_m, best_up, best_vp, best_e = carry
+    u_params, v_params, _, _, best_m, best_up, best_vp, best_e = carry[:8]
     return FitResult(
         params=u_params,
         best_params=best_up,

@@ -1,0 +1,82 @@
+"""WAN 2D accuracy-floor screening (VERDICT round-1 item #1).
+
+Round 1 established a ~1.1e-2 rel-L2 floor on 2D IPW n=(3,3) WAN/FN with
+alternating GDA; all integration-side attacks (multi-bump, max-of-ratios,
+resampling) failed, pointing at the minimax dynamics.  This script screens
+the optimisation-side attacks (extragradient / optimistic updates,
+two-timescale critic lr, EMA-averaged primal iterate, wider critic) at
+moderate epoch budgets and appends rows to artifacts/wan_floor_screen.json.
+
+Usage:  python scripts/wan_floor.py VARIANT [VARIANT ...]
+        python scripts/wan_floor.py --list
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nnpde_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "wan_floor_screen.json")
+
+BASE = dict(nx=3, ny=3, method="WAN", technique="FN", epochs=30000,
+            lr_schedule="cosine")
+
+VARIANTS = {
+    # name -> config overrides on BASE
+    "baseline30k": {},
+    "eg": {"minimax": "extragradient"},
+    "ogda": {"minimax": "optimistic"},
+    "twotime4x": {"v_lr": 4e-3},
+    "ema999": {"u_ema": 0.999},
+    "bigcritic": {"v_layers": (2, 100, 100, 100, 1)},
+    "bigcritic_eg": {"v_layers": (2, 100, 100, 100, 1),
+                     "minimax": "extragradient"},
+    "bigcritic_ema": {"v_layers": (2, 100, 100, 100, 1), "u_ema": 0.999},
+    "eg_ema": {"minimax": "extragradient", "u_ema": 0.999},
+    "ogda_ema": {"minimax": "optimistic", "u_ema": 0.999},
+    "bigcritic_twotime": {"v_layers": (2, 100, 100, 100, 1), "v_lr": 4e-3},
+}
+
+
+def record(name, payload):
+    rows = []
+    if os.path.exists(OUT):
+        rows = json.load(open(OUT))
+    rows = [r for r in rows if r.get("name") != name]
+    rows.append({"name": name, **payload})
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    json.dump(rows, open(OUT, "w"), indent=2)
+    print(f"[wan_floor] {name}: {json.dumps(payload)}", flush=True)
+
+
+def run(name, overrides):
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    cfg = IPW2DConfig(**{**BASE, **overrides})
+    t0 = time.time()
+    out = train_ipw_2d(cfg)
+    record(name, {
+        "rel_l2": out["rel_l2"],
+        "best_epoch": out["min_epoch"],
+        "epochs": cfg.epochs,
+        "overrides": {k: str(v) for k, v in overrides.items()},
+        "elapsed_s": round(time.time() - t0, 1),
+    })
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args or args[0] == "--list":
+        print("\n".join(VARIANTS))
+        sys.exit(0)
+    for a in args:
+        run(a, VARIANTS[a])

@@ -57,3 +57,40 @@ def test_graft_entry_compiles():
     loss, u = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     assert u.shape == (4096,)
+
+
+def test_lbfgs_fit_quadratic_with_best_tracking():
+    """From-scratch L-BFGS (QHO_1D_PINN_DRM.py:437-439 mode): solves a
+    quadratic, tracks the best iterate, and early-stops via the done flag."""
+    from nnpde_tpu.train import lbfgs_fit
+
+    A = jnp.array([[3.0, 1.0], [1.0, 2.0]])
+    b = jnp.array([1.0, -2.0])
+    x_star = jnp.linalg.solve(A, b)
+
+    def loss(p):
+        x = p["x"]
+        return 0.5 * x @ A @ x - b @ x
+
+    def ev(p):
+        return jnp.sum((p["x"] - x_star) ** 2)
+
+    res = lbfgs_fit(loss, ev, {"x": jnp.zeros(2)}, max_iter=60, chunk=30)
+    assert res.best_metric < 1e-10
+    assert res.history["l2"].shape == (60,)
+    # converged long before 60 iters; the tail is a no-op, best stays put
+    np.testing.assert_allclose(
+        np.asarray(res.best_params["x"]), np.asarray(x_star), atol=1e-5
+    )
+
+
+def test_qho1d_lbfgs_replace_mode_runs():
+    from nnpde_tpu.problems.qho import QHO1DConfig, train_qho_1d
+
+    out = train_qho_1d(QHO1DConfig(
+        n=0, method="PINN", technique="FN", epochs=0, LBFGS=True,
+        lbfgs_mode="replace", lbfgs_iters=40, grid_n=128,
+        layers=(1, 16, 16, 1),
+    ))
+    assert np.isfinite(out["L2_error"])
+    assert len(out["history"]["l2"]) == 40

@@ -1,0 +1,92 @@
+"""Minimax update rules in fit_wan (extragradient / optimistic / EMA).
+
+The reference only ever runs alternating GDA (IPW_1D_WAN.py:184-208); these
+modes are framework extensions attacking the 2D WAN accuracy floor
+(TODO.md §4).  The bilinear saddle min_x max_y xy is the canonical
+correctness oracle: simultaneous/alternating GDA spirals away from the
+saddle (0, 0) while extragradient and OGDA contract onto it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nnpde_tpu.train import fit_wan
+
+
+def _bilinear_run(minimax, lr=0.2, epochs=800):
+    # min_u max_v  u*v  — saddle at (0, 0)
+    def u_loss(u, v, key):
+        return u["x"] * v["y"], {}
+
+    def v_loss(v, u, key):
+        return -u["x"] * v["y"]  # critic minimises the negation (ascent)
+
+    def eval_fn(u, key):
+        return jnp.abs(u["x"])
+
+    res = fit_wan(
+        u_loss, v_loss, eval_fn,
+        {"x": jnp.asarray(1.0)}, {"y": jnp.asarray(1.0)},
+        epochs=epochs, v_steps=1,
+        u_optimizer=optax.sgd(lr), v_optimizer=optax.sgd(lr),
+        key=jax.random.PRNGKey(0), chunk=epochs, minimax=minimax,
+    )
+    return float(jnp.hypot(res.params["x"], res.v_params["y"]))
+
+
+def test_bilinear_gda_diverges_eg_ogda_converge():
+    r_gda = _bilinear_run("alternating")
+    r_eg = _bilinear_run("extragradient")
+    r_ogda = _bilinear_run("optimistic")
+    # GDA on the bilinear saddle does not contract; EG/OGDA do
+    assert r_eg < 1e-2
+    assert r_ogda < 1e-2
+    assert r_gda > 10 * max(r_eg, r_ogda)
+
+
+def test_unknown_minimax_mode_rejected():
+    with pytest.raises(ValueError):
+        _bilinear_run("adamax-pair")
+
+
+def test_ema_tracked_and_can_win():
+    # A pure rotation makes the last iterate orbit at constant radius while
+    # the running average contracts to the saddle — the EMA must be the one
+    # the best-snapshot logic picks up.
+    def u_loss(u, v, key):
+        return u["x"] * v["y"], {}
+
+    def v_loss(v, u, key):
+        return -u["x"] * v["y"]
+
+    def eval_fn(u, key):
+        return jnp.abs(u["x"])
+
+    res = fit_wan(
+        u_loss, v_loss, eval_fn,
+        {"x": jnp.asarray(1.0)}, {"y": jnp.asarray(1.0)},
+        epochs=400, v_steps=1,
+        u_optimizer=optax.sgd(0.05), v_optimizer=optax.sgd(0.05),
+        key=jax.random.PRNGKey(0), chunk=200, u_ema=0.99,
+    )
+    assert "l2_ema" in res.history
+    assert np.isfinite(res.history["l2_ema"]).all()
+    # the averaged iterate beats every raw iterate's orbit radius
+    assert res.best_metric < np.min(res.history["l2"]) + 1e-9
+
+
+def test_wan_modes_on_ipw2d_smoke():
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    for minimax in ("extragradient", "optimistic"):
+        out = train_ipw_2d(IPW2DConfig(
+            nx=1, ny=1, method="WAN", technique="FN", epochs=60, chunk=30,
+            grid_n=24, data_grid_n=10, n_boundary=20,
+            layers=(2, 16, 16, 1), v_layers=(2, 8, 8, 1), v_steps=2,
+            minimax=minimax, v_lr=2e-3, u_ema=0.995,
+        ))
+        assert np.all(np.isfinite(out["history"]["l2"]))
+        assert "l2_ema" in out["history"]
