@@ -43,12 +43,18 @@ def main():
     f = phys.rhs_f_for_u_sin(X, L, [1, 1])
     opt = optax.adam(1e-3)
 
+    # lane-packed Pallas jet kernel on TPU (2.4x the XLA path at width 64,
+    # BENCHMARKS.md); XLA stream path off-TPU
+    from nnpde_tpu.kernels import pallas_available
+
+    impl = "pallas" if pallas_available() else "xla"
+
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
 
             def loss_fn(p):
-                jet = model.fields(p, X)
+                jet = model.fields(p, X, impl=impl)
                 return pinn_poisson(jet.lap, f)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

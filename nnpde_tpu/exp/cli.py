@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "final accuracy; optimizer state carries across)")
     p.add_argument("--norm-mode", choices=["nontrivial", "l2"],
                    default="nontrivial")
+    p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",
+                   help="PINN jet backend; pallas = lane-packed VMEM "
+                        "kernels (~2.4x at width 64 on TPU)")
     p.add_argument("--wan-reg", type=float, default=1.0,
                    help="WAN critic regularisation weight")
     _add_common(p, epochs=10000)
@@ -217,6 +220,7 @@ def _dispatch(args) -> int:
             sampler=args.sampler, norm_mode=args.norm_mode,
             wan_reg=args.wan_reg,
             lr_schedule=args.lr_schedule, compute_dtype=args.compute_dtype,
+            jet_impl=args.jet_impl,
             n_interior=args.n_interior,
             n_boundary=args.n_boundary, n_data=args.n_data,
             width=args.width, depth=args.depth, critic_steps=args.critic_steps,

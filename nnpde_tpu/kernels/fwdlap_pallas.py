@@ -5,15 +5,19 @@ in the forward but its backward materialises every jet cotangent stream in
 HBM per elementwise op (~10x the forward cost).  This kernel keeps the whole
 per-tile pipeline in VMEM:
 
-* the (value, d x jacobian, laplacian) streams live in one ``(d+2, T, w)``
-  array — leading "stream" dim for cheap slicing/stacking, flattened to
-  ``((d+2)T, w)`` (a free reshape) so each layer is a single MXU matmul;
+* the (value, d x jacobian, laplacian) streams are flat 2D ``(T, w)``
+  values (3D stacks measured as pure VMEM-relayout overhead in round 1);
 * the backward **recomputes** the forward inside the tile
   (rematerialisation in VMEM — no activation spill to HBM) and accumulates
   dW/db across batch tiles by revisiting the same output block on TPU's
   sequential grid;
-* mixed precision: exact f32 (6-pass) forward dots, fast-accumulating
-  backward dots (gradients average over ~1e5+ points).
+* **2-point lane packing** (round 2): at width <= 64 two collocation
+  points share each 128-lane vreg row (block-diagonal weights, diagonal
+  blocks folded host-side) — the kernels are VPU-bound at 64 lanes, and
+  packing doubles both VPU and MXU utilisation (grad 14.4 -> 7.6 ms at the
+  bench workload, BENCHMARKS.md);
+* dots run bf16x3 (three DEFAULT-precision MXU passes, f32-class accuracy,
+  lap rel-err ~5e-6; Mosaic rejects Precision.HIGH/HIGHEST here).
 
 Exactness: identical math to the XLA path (the Forward-Laplacian recurrence,
 arXiv:2307.08214).  Differentiable via ``jax.custom_vjp`` (cotangents w.r.t.
@@ -138,7 +142,7 @@ def _fwd_streams(X, Ws, bs, d, T, act, keep_pre=False,
 
 
 # --------------------------------------------------- forward kernel (v2, 2D)
-def _forward_kernel2(d, K, T, activation, fwd_dot, X_ref, *refs):
+def _forward_kernel2(d, K, T, activation, fwd_dot, packed, X_ref, *refs):
     """VMEM-resident jet forward with flat 2D streams.
 
     The XLA forward is HBM-bound (~5 ms at the bench workload: every layer
@@ -170,7 +174,13 @@ def _forward_kernel2(d, K, T, activation, fwd_dot, X_ref, *refs):
     else:
         dot = lambda a, b: _dot(a, b, jax.lax.Precision.DEFAULT)
     v = dot(X, w0) + bs[0]
-    Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
+    if packed:
+        # blocked W0: row i is [W0_i | 0], row d+i is [0 | W0_i] — the sum
+        # seeds both halves' jacobian streams (see _backward_kernel)
+        Js = [jnp.broadcast_to(w0[i:i + 1, :] + w0[d + i:d + i + 1, :],
+                               (T, width)) for i in range(d)]
+    else:
+        Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
     l = jnp.zeros((T, width), jnp.float32)
     for k in range(1, K - 1):
         pack = _act_pack(act_name, v)
@@ -180,6 +190,29 @@ def _forward_kernel2(d, K, T, activation, fwd_dot, X_ref, *refs):
         l = dot(lmid, Ws[k])
     pack = _act_pack(act_name, v)
     A, Jmid, lmid = _nl_mid_pack(pack, Js, l)
+    vw = v.shape[1]
+    if packed:
+        # per-half projections: point a rides lanes [0, w), b lanes [w, 2w)
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def proj2(S):
+            P = S * wlast_row
+            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
+
+        va, vb = proj2(A)
+        ga = [proj2(Jm) for Jm in Jmid]
+        la, lb = proj2(lmid)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, 16), 1)
+        out = (jnp.where(lane == 0, va + blast, 0.0)
+               + jnp.where(lane == 8, vb + blast, 0.0)
+               + jnp.where(lane == d + 1, la, 0.0)
+               + jnp.where(lane == 8 + d + 1, lb, 0.0))
+        for i, (gl, gr) in enumerate(ga):
+            out = (out + jnp.where(lane == 1 + i, gl, 0.0)
+                   + jnp.where(lane == 9 + i, gr, 0.0))
+        out_ref[...] = out[None]
+        return
     # scalar projection via VPU lane reduction (no (w,1) matmul in Mosaic)
     value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
     grads = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
@@ -195,28 +228,44 @@ def _forward_kernel2(d, K, T, activation, fwd_dot, X_ref, *refs):
 
 
 def _run_forward2(flat_params, X, activation, tile, interpret,
-                  fwd_dot="bf16x3"):
+                  fwd_dot="bf16x3", lane_pack=1):
     Ws, bs = _split_params(flat_params)
     d = X.shape[1]
     K = len(Ws)
     Xp, N, Np = _pad(X, tile)
     n_tiles = Np // tile
-    Xt = Xp.reshape(n_tiles, tile, d)
-    W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
-    b_in = list(bs[:-1]) + [bs[-1].reshape(1, 1)]
-    kernel = functools.partial(_forward_kernel2, d, K, tile, activation,
-                               fwd_dot)
-    in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
+    packed = lane_pack == 2
+    if packed:
+        rows = tile // 2
+        Xt = Xp.reshape(n_tiles, 2, rows, d).transpose(0, 2, 1, 3).reshape(
+            n_tiles, rows, 2 * d)
+        W_in = [_block2(W) for W in Ws[:-1]]
+        row = Ws[-1].reshape(1, -1)
+        W_in.append(jnp.concatenate([row, row], axis=1))
+        b_in = [jnp.concatenate([b.reshape(1, -1)] * 2, axis=1)
+                for b in bs[:-1]] + [bs[-1].reshape(1, 1)]
+        T, din, dout = rows, 2 * d, 16
+    else:
+        Xt = Xp.reshape(n_tiles, tile, d)
+        W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
+        b_in = list(bs[:-1]) + [bs[-1].reshape(1, 1)]
+        T, din, dout = tile, d, 8
+    kernel = functools.partial(_forward_kernel2, d, K, T, activation,
+                               fwd_dot, packed)
+    in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
     in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile, 8), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, 8), jnp.float32),
+        out_specs=pl.BlockSpec((1, T, dout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, T, dout), jnp.float32),
         interpret=interpret,
     )(Xt, *W_in, *b_in)
+    if packed:
+        # (n_tiles, T/2, 16) -> halves back to point order
+        out = out.reshape(n_tiles, T, 2, 8).transpose(0, 2, 1, 3)
     return out.reshape(Np, 8)[:N, :d + 2]
 
 
@@ -305,7 +354,7 @@ def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
 
 
 def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
-                     X_ref, *refs):
+                     packed, X_ref, *refs):
     """Recompute the forward in VMEM with flat 2D (T, w) streams, then
     reverse in the same tile; accumulate dW/db across TPU's sequential grid.
 
@@ -321,10 +370,21 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
     'bfloat16' casts dot INPUTS to bf16 (f32 accumulate) — gradients are
     means over >= 1e5 points, so the quantisation noise averages out.
 
+    ``packed``: 2-point lane packing.  Width-64 nets use only half of every
+    8x128 VPU vreg and a quarter of each 128x128 MXU tile (measured: both
+    kernels VPU-bound at 64 lanes).  With ``packed`` the host passes
+    block-diagonal weights (2w = 128 lanes) and each stream row carries TWO
+    collocation points — point a in lanes [0, w), point b in lanes [w, 2w).
+    The jet recurrence is lane-local and the linear maps are block-diagonal,
+    so the kernel body is unchanged; only the J-stream init, the cotangent
+    unpacking and the dW0 jacobian-row placement are half-aware.  The host
+    folds the two diagonal blocks of every dW on the way out.
+
     Inputs: X (1,T,d) block, W0 (d,w), W1..W_{K-2} (w,w), WlastT (1,w),
-    b0..b_{K-2} (1,w), ct (1,T,d+2).
+    b0..b_{K-2} (1,w), ct (1,T,d+2); under ``packed`` T counts ROWS (=
+    points/2), d -> 2d, w -> 2w, d+2 -> 2(d+2).
     Outputs (accumulated): dW0 (d,w), dW1.. (w,w), dWlast_row (1,w),
-    db0..b_{K-2} (1,w).
+    db0..b_{K-2} (1,w) — blocked shapes under ``packed``.
     """
     act = _act_fns(activation)
     n_w = K - 1          # W0 .. W_{K-2} passed whole; W_{K-1} as row
@@ -368,7 +428,13 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
     # ---- forward recompute; per-stage packs and mid streams stay in VMEM
     # (the backward reuses them — no second nonlinearity evaluation)
     v = _dot(cast(X), cast(w0), prec) + bs[0]
-    Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
+    if packed:
+        # blocked W0 rows are [W0_i | 0] (row i) and [0 | W0_i] (row d+i);
+        # their sum is the per-half jacobian seed [W0_i | W0_i]
+        Js = [jnp.broadcast_to(w0[i:i + 1, :] + w0[d + i:d + i + 1, :],
+                               (T, width)) for i in range(d)]
+    else:
+        Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
     l = jnp.zeros((T, width), jnp.float32)
     saved = []
     for k in range(1, K - 1):
@@ -382,9 +448,22 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
 
     # ---- final stage: nonlinearity + scalar projection w_last (w, 1)
     ct = ct_ref[0]                                    # (T, d+2)
-    ct_v = ct[:, 0:1]
-    ct_g = [ct[:, 1 + i:2 + i] for i in range(d)]
-    ct_l = ct[:, d + 1:d + 2]
+    if packed:
+        # per-half cotangent broadcast: lanes [0, w) get point a's scalar,
+        # lanes [w, 2w) point b's (ct block layout: a's d+2 cols then b's)
+        vw = v.shape[1]                         # last hidden (blocked) width
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def two(i):
+            return jnp.where(left, ct[:, i:i + 1], ct[:, d + 2 + i:d + 3 + i])
+
+        ct_v = two(0)
+        ct_g = [two(1 + i) for i in range(d)]
+        ct_l = two(d + 1)
+    else:
+        ct_v = ct[:, 0:1]
+        ct_g = [ct[:, 1 + i:2 + i] for i in range(d)]
+        ct_l = ct[:, d + 1:d + 2]
     pack = _act_pack(activation, v)
     q = _sum_sq(Js)
     A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
@@ -428,6 +507,13 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
     # ---- input layer: v0 = X @ W0 + b0; J0_i = W0[i, :] broadcast; l0 = 0
     dW0 = _dg_rows(cast(X), cast(dv), prec)
     rows = [jnp.sum(dJ, axis=0, keepdims=True) for dJ in dJs]
+    if packed:
+        # jacobian-seed grads go to the diagonal blocks the host will fold:
+        # left-half lanes onto row i (top block), right-half onto row d+i
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        lrow = lane_row < (width // 2)
+        rows = ([jnp.where(lrow, r, 0.0) for r in rows]
+                + [jnp.where(lrow, 0.0, r) for r in rows])
     dW0 = dW0 + jnp.concatenate(rows, axis=0)         # (d, w) sublane concat
     dW_refs[0][...] += dW0.astype(jnp.float32)
     db_refs[0][...] += jnp.sum(dv, axis=0, keepdims=True)
@@ -471,21 +557,22 @@ def _run_forward(flat_params, X, activation, tile, interpret):
     return out[:N]
 
 
-def _primal(flat_params, X, activation, tile, interpret, fwd_impl):
+def _primal(flat_params, X, activation, tile, interpret, fwd_impl,
+            lane_pack=1):
     """Primal (N, d+2) jet streams.
 
     Default 'xla': the stream-propagation forward fused by XLA — measured
-    bandwidth-optimal (~1.6 ms at the bench workload) vs 7.6 ms for the
-    6-pass HIGHEST Pallas forward kernel; under custom_vjp XLA saves no
-    residuals, so there is nothing for the kernel forward to win back.
-    'pallas' keeps the VMEM kernel (A/B evidence, BENCHMARKS.md).
+    bandwidth-optimal vs the 6-pass HIGHEST Pallas forward kernel; under
+    custom_vjp XLA saves no residuals, so there is nothing for the kernel
+    forward to win back.  'pallas2' is the VMEM jet forward — with 2-point
+    lane packing it beats the XLA forward at width 64 (BENCHMARKS.md).
     """
     if fwd_impl == "pallas":
         return _run_forward(flat_params, X, activation, tile, interpret)
     if fwd_impl.startswith("pallas2"):
         mode = "default" if fwd_impl.endswith(":default") else "bf16x3"
         return _run_forward2(flat_params, X, activation, tile, interpret,
-                             fwd_dot=mode)
+                             fwd_dot=mode, lane_pack=lane_pack)
     from ..ops.fwdlap import mlp_fwdlap
 
     Ws, bs = _split_params(flat_params)
@@ -495,22 +582,33 @@ def _primal(flat_params, X, activation, tile, interpret, fwd_impl):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _fwdlap_core(flat_params, X, activation, tile, bwd_tile, interpret,
-                 fwd_impl, concat_streams, dot_dtype):
-    return _primal(flat_params, X, activation, tile, interpret, fwd_impl)
+                 fwd_impl, concat_streams, dot_dtype, lane_pack):
+    return _primal(flat_params, X, activation, tile, interpret, fwd_impl,
+                   lane_pack)
 
 
 def _fwd_rule(flat_params, X, activation, tile, bwd_tile, interpret,
-              fwd_impl, concat_streams, dot_dtype):
-    return _primal(flat_params, X, activation, tile, interpret, fwd_impl), (
+              fwd_impl, concat_streams, dot_dtype, lane_pack):
+    return _primal(flat_params, X, activation, tile, interpret, fwd_impl,
+                   lane_pack), (
         flat_params,
         X,
     )
 
 
+def _block2(W):
+    """Block-diagonal duplication [[W, 0], [0, W]] for 2-point lane packing."""
+    z = jnp.zeros_like(W)
+    return jnp.concatenate([
+        jnp.concatenate([W, z], axis=1),
+        jnp.concatenate([z, W], axis=1),
+    ], axis=0)
+
+
 def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, fwd_impl,
-              concat_streams, dot_dtype, res, ct):
+              concat_streams, dot_dtype, lane_pack, res, ct):
     flat_params, X = res
     tile = bwd_tile
     Ws, bs = _split_params(flat_params)
@@ -521,18 +619,35 @@ def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, fwd_impl,
     n_tiles = Np // tile
     if Np != N0:
         ct = jnp.concatenate([ct, jnp.zeros((Np - N0, d + 2), ct.dtype)], 0)
-    ct_t = ct.reshape(n_tiles, tile, d + 2)
-    Xt = Xp.reshape(n_tiles, tile, d)
-    # the kernel takes W_{K-1} (w, 1) as its row form (1, w) and returns
-    # dW_{K-1} as a row too — narrow (w, 1) shapes never enter Mosaic
-    W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
-    b_in = list(bs[:-1])
-    kernel = functools.partial(_backward_kernel, d, K, tile, activation,
-                               concat_streams, dot_dtype)
-    in_specs = [pl.BlockSpec((1, tile, d), lambda i: (i, 0, 0))]
+    packed = lane_pack == 2
+    if packed:
+        # two points per stream row: the tile's first T/2 points ride lanes
+        # [0, w), the second T/2 lanes [w, 2w); weights become block-diag
+        rows = tile // 2
+        Xt = Xp.reshape(n_tiles, 2, rows, d).transpose(0, 2, 1, 3).reshape(
+            n_tiles, rows, 2 * d)
+        ct_t = ct.reshape(n_tiles, 2, rows, d + 2).transpose(
+            0, 2, 1, 3).reshape(n_tiles, rows, 2 * (d + 2))
+        W_in = [_block2(W) for W in Ws[:-1]]
+        row = Ws[-1].reshape(1, -1)
+        W_in.append(jnp.concatenate([row, row], axis=1))
+        b_in = [jnp.concatenate([b.reshape(1, -1)] * 2, axis=1)
+                for b in bs[:-1]]
+        T, din, dct = rows, 2 * d, 2 * (d + 2)
+    else:
+        Xt = Xp.reshape(n_tiles, tile, d)
+        ct_t = ct.reshape(n_tiles, tile, d + 2)
+        # the kernel takes W_{K-1} (w, 1) as its row form (1, w) and returns
+        # dW_{K-1} as a row too — narrow (w, 1) shapes never enter Mosaic
+        W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
+        b_in = [b.reshape(1, -1) for b in bs[:-1]]
+        T, din, dct = tile, d, d + 2
+    kernel = functools.partial(_backward_kernel, d, K, T, activation,
+                               concat_streams, dot_dtype, packed)
+    in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
     in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
-    in_specs += [pl.BlockSpec((1, tile, d + 2), lambda i: (i, 0, 0))]
+    in_specs += [pl.BlockSpec((1, T, dct), lambda i: (i, 0, 0))]
     out_specs = (
         [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
@@ -549,11 +664,28 @@ def _bwd_rule(activation, fwd_tile, bwd_tile, interpret, fwd_impl,
         out_shape=out_shape,
         interpret=interpret,
     )(Xt, *W_in, *b_in, ct_t)
-    dWs = tuple(outs[:K - 1]) + (outs[K - 1].reshape(Ws[-1].shape),)
+    if packed:
+        # fold the diagonal blocks of every accumulated gradient
+        def fold_W(O, W):
+            m, n = W.shape
+            return O[:m, :n] + O[m:, n:]
+
+        dWs = tuple(fold_W(o, W) for o, W in zip(outs[:K - 1], Ws[:-1]))
+        w = Ws[-1].shape[0]
+        dWs = dWs + ((outs[K - 1][:, :w] + outs[K - 1][:, w:]).reshape(
+            Ws[-1].shape),)
+        dbs_hidden = tuple(
+            (o[:, :b.shape[1]] + o[:, b.shape[1]:]).reshape(b.shape)
+            for o, b in zip(outs[K:], bs[:-1])
+        )
+    else:
+        dWs = tuple(outs[:K - 1]) + (outs[K - 1].reshape(Ws[-1].shape),)
+        dbs_hidden = tuple(o.reshape(b.shape)
+                           for o, b in zip(outs[K:], bs[:-1]))
     # db for the projection layer never enters the kernel: b_last only
     # shifts the value stream, so its grad is just sum of the value ct
     db_last = jnp.sum(ct[:, 0]).reshape(bs[-1].shape)
-    dbs = tuple(outs[K:]) + (db_last,)
+    dbs = dbs_hidden + (db_last,)
     return (dWs + dbs, jnp.zeros_like(X))
 
 
@@ -571,6 +703,7 @@ def mlp_fwdlap_pallas(
     fwd_impl: str = "xla",
     concat_streams: bool = True,
     dot_dtype: str = "float32",
+    lane_pack: int | None = None,
 ):
     """Fused (u, grad u, lap u) with the Pallas recompute-in-VMEM backward.
 
@@ -592,7 +725,21 @@ def mlp_fwdlap_pallas(
         interpret = not pallas_available()
     Ws = tuple(W for W, _ in params)
     bs = tuple(b.reshape(1, -1) for _, b in params)
+    if lane_pack is None:
+        # auto: pack two points per 128-lane vreg when every hidden width
+        # fits in half a vreg (measured: the kernel is VPU-bound at 64
+        # lanes, BENCHMARKS.md) — requires an even backward tile
+        lane_pack = 2 if (
+            all(W.shape[1] <= 64 for W in Ws[:-1]) and bwd_tile % 2 == 0
+        ) else 1
+    if lane_pack not in (1, 2):
+        raise ValueError(f"lane_pack must be 1 or 2, got {lane_pack}")
+    if fwd_impl == "auto":
+        # measured at the bench workload (BENCHMARKS.md): the packed VMEM
+        # jet forward beats the XLA stream forward (3.7 vs 5.3 ms) but the
+        # unpacked one loses (6.5 ms) — take the kernel only when packed
+        fwd_impl = "pallas2" if lane_pack == 2 else "xla"
     out = _fwdlap_core(Ws + bs, X, activation, tile, bwd_tile, interpret,
-                       fwd_impl, concat_streams, dot_dtype)
+                       fwd_impl, concat_streams, dot_dtype, lane_pack)
     d = X.shape[1]
     return Jet(value=out[:, 0], grad=out[:, 1:1 + d], lap=out[:, 1 + d])

@@ -60,7 +60,10 @@ class SolutionModel:
         if impl == "pallas":
             from ..kernels import mlp_fwdlap_pallas
 
-            jet = mlp_fwdlap_pallas(params, X, self.spec.activation)
+            # 'auto' forward: packed VMEM jet kernel at width <= 64, XLA
+            # stream forward otherwise (measured crossover, BENCHMARKS.md)
+            jet = mlp_fwdlap_pallas(params, X, self.spec.activation,
+                                    fwd_impl="auto")
         else:
             jet = mlp_fwdlap(params, X, self.spec.activation)
         if self.factor is not None:

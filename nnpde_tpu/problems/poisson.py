@@ -72,6 +72,10 @@ class PoissonConfig:
     # moments and lr-schedule step continue, no silent reset).
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
+    # PINN jet backend: 'xla' (stream propagation) or 'pallas' (lane-packed
+    # VMEM kernels, ~2.4x faster at width 64 on TPU, BENCHMARKS.md; f32-
+    # class accuracy, lap rel-err ~5e-6).  bf16 phases always use 'xla'.
+    jet_impl: str = "xla"
     # fresh interior sample every epoch (the reference fixes the collocation
     # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
     # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
@@ -144,6 +148,8 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         raise ValueError(
             "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
         )
+    if cfg.jet_impl not in ("xla", "pallas"):
+        raise ValueError("jet_impl must be 'xla' or 'pallas'")
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":
@@ -253,7 +259,8 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                 else:
                     p_c, X_c = params, X_cur
                 if cfg.method == "PINN":
-                    jet = model.fields(p_c, X_c)
+                    impl = cfg.jet_impl if dtype != "bfloat16" else "xla"
+                    jet = model.fields(p_c, X_c, impl=impl)
                     pde = pinn_poisson(jet.lap.astype(jnp.float32), f_cur)
                     u_int = jet.value.astype(jnp.float32)
                 else:

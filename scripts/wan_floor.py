@@ -44,6 +44,15 @@ VARIANTS = {
     "eg_ema": {"minimax": "extragradient", "u_ema": 0.999},
     "ogda_ema": {"minimax": "optimistic", "u_ema": 0.999},
     "bigcritic_twotime": {"v_layers": (2, 100, 100, 100, 1), "v_lr": 4e-3},
+    # round B: combinations of the round-A winners (eg 5.8e-3, twotime
+    # 5.7e-3 vs baseline 1.11e-2; ogda/ema flat, bigcritic 9.6e-3)
+    "eg_twotime": {"minimax": "extragradient", "v_lr": 4e-3},
+    "eg_twotime_bigcritic": {"minimax": "extragradient", "v_lr": 4e-3,
+                             "v_layers": (2, 100, 100, 100, 1)},
+    "eg_60k": {"minimax": "extragradient", "epochs": 60000},
+    "eg_twotime_60k": {"minimax": "extragradient", "v_lr": 4e-3,
+                       "epochs": 60000},
+    "twotime8x": {"v_lr": 8e-3},
 }
 
 

@@ -73,3 +73,37 @@ def test_solution_model_pallas_impl_with_factor():
     b = model.fields(params, X, impl="xla")
     np.testing.assert_allclose(np.asarray(a.lap), np.asarray(b.lap), atol=1e-3)
     np.testing.assert_allclose(np.asarray(a.value), np.asarray(b.value), atol=1e-5)
+
+
+def test_lane_pack_matches_unpacked_vjp():
+    """2-point lane packing (block-diag weights, two points per vreg) must
+    reproduce the unpacked kernel's primal and cotangents exactly."""
+    d = 3
+    params = init_mlp(jax.random.PRNGKey(7), NetSpec((d, 64, 64, 64, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(8), (160, d), minval=-1.0, maxval=1.0)
+
+    def loss(p, pack):
+        jet = mlp_fwdlap_pallas(p, X, "sin", tile=64, bwd_tile=64,
+                                lane_pack=pack)
+        return jnp.mean(jet.lap**2) + jnp.mean(jet.value**2)
+
+    g1 = jax.grad(lambda p: loss(p, 1))(params)
+    g2 = jax.grad(lambda p: loss(p, 2))(params)
+    for (W1, b1), (W2, b2) in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_poisson_trains_with_pallas_jet_impl():
+    """jet_impl='pallas' (lane-packed kernels, interpret mode on CPU) must
+    train the 1D Poisson PINN to the same ballpark as the XLA path."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=1, epochs=150, n_interior=256, chunk=75,
+                width=16, depth=3, seed=0)
+    a = train_poisson_nd(PoissonConfig(jet_impl="xla", **base))
+    b = train_poisson_nd(PoissonConfig(jet_impl="pallas", **base))
+    assert np.isfinite(b["rel_l2"])
+    assert b["rel_l2"] < 2.0 * a["rel_l2"] + 1e-3
