@@ -39,7 +39,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
-from ..train import fit, fit_wan, lbfgs_polish, make_optimizer
+from ..train import fit, fit_wan, lbfgs_polish, make_optimizer, make_wan_optimizers
 
 
 @dataclasses.dataclass
@@ -318,17 +318,14 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             total = sum(w[k] * terms[k] for k in w)
             return total, terms
 
+        u_opt, v_opt = make_wan_optimizers(
+            cfg.lr, v_lr=cfg.v_lr, schedule=cfg.lr_schedule,
+            epochs=cfg.epochs, v_steps=cfg.v_steps,
+        )
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=make_optimizer(
-                cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
-            ),
-            v_optimizer=make_optimizer(
-                cfg.v_lr if cfg.v_lr is not None else cfg.lr,
-                schedule=cfg.lr_schedule,
-                total_steps=cfg.epochs * cfg.v_steps,
-            ),
+            u_optimizer=u_opt, v_optimizer=v_opt,
             key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
             minimax=cfg.minimax, u_ema=cfg.u_ema,
         )

@@ -59,6 +59,10 @@ class PoissonConfig:
     critic_depth: int = 3
     critic_steps: int = 5
     wan_reg: float = 1.0
+    # WAN saddle-point knobs (see train/trainer.py fit_wan)
+    minimax: str = "alternating"
+    v_lr: Optional[float] = None
+    u_ema: float = 0.0
     norm_mode: str = "nontrivial"
     weights: Optional[Dict[str, float]] = None
     seed: int = 0
@@ -369,12 +373,14 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             return u_loss_fn
 
         v_optimizer = make_optimizer(
-            cfg.lr, schedule=cfg.lr_schedule,
+            cfg.v_lr if cfg.v_lr is not None else cfg.lr,
+            schedule=cfg.lr_schedule,
             total_steps=cfg.epochs * cfg.critic_steps,
         )
         wan_kw = dict(
             v_steps=cfg.critic_steps, u_optimizer=optimizer,
             v_optimizer=v_optimizer, key=k_train, chunk=min(cfg.chunk, 500),
+            minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
         if cfg.compute_dtype == "hybrid":
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)

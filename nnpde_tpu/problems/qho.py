@@ -15,7 +15,7 @@ Reproduces:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import qho as phys
 from ..sampling import linspace_grid, mid_fraction_every_kth
-from ..train import fit, fit_wan, lbfgs_fit, lbfgs_polish
+from ..train import fit, fit_wan, lbfgs_fit, lbfgs_polish, make_wan_optimizers
 
 
 def _qho_factor(technique: str, n: int, x_max: float):
@@ -202,6 +202,10 @@ class QHO1DWanConfig:
     grid_n: int = 1000
     data_fraction: float = 0.25
     data_stride: int = 10
+    # WAN saddle-point knobs (see train/trainer.py fit_wan)
+    minimax: str = "alternating"
+    v_lr: Optional[float] = None
+    u_ema: float = 0.0
     seed: int = 0
     chunk: int = 500
 
@@ -282,11 +286,15 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         u = u_model.apply_batch(u_params["net"], x_grid)
         return sign_aware_mse(u, u_exact)
 
+    u_opt, v_opt = make_wan_optimizers(
+        cfg.lr, v_lr=cfg.v_lr, epochs=cfg.epochs, v_steps=cfg.v_steps,
+    )
     result = fit_wan(
         u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,
         epochs=cfg.epochs, v_steps=cfg.v_steps,
-        u_optimizer=optax.adam(cfg.lr), v_optimizer=optax.adam(cfg.lr),
+        u_optimizer=u_opt, v_optimizer=v_opt,
         key=jax.random.fold_in(key, 2), chunk=cfg.chunk,
+        minimax=cfg.minimax, u_ema=cfg.u_ema,
     )
     return {
         "config": dataclasses.asdict(cfg),

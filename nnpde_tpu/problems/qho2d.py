@@ -40,7 +40,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import qho as phys
 from ..sampling import meshgrid_2d
-from ..train import fit, fit_wan, lbfgs_polish, make_optimizer
+from ..train import fit, fit_wan, lbfgs_polish, make_optimizer, make_wan_optimizers
 
 
 @dataclasses.dataclass
@@ -66,6 +66,10 @@ class QHO2DConfig:
     # keeps it pinned.  None = shared lr (reference behaviour).
     energy_lr: Optional[float] = None
     energy_variant: bool = False       # use the Energy-script weight table
+    # WAN saddle-point knobs (see problems/ipw2d.py / train/trainer.py):
+    minimax: str = "alternating"       # alternating | extragradient | optimistic
+    v_lr: Optional[float] = None       # two-timescale critic lr
+    u_ema: float = 0.0                 # EMA-averaged primal iterate
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
     chunk: int = 500
@@ -307,17 +311,16 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         def eval_fn(u_params, key):
             return eval_fn_net(u_params["net"])
 
+        u_opt, v_opt = make_wan_optimizers(
+            cfg.lr, v_lr=cfg.v_lr, schedule=cfg.lr_schedule,
+            epochs=cfg.epochs, v_steps=cfg.v_steps,
+        )
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=make_optimizer(
-                cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
-            ),
-            v_optimizer=make_optimizer(
-                cfg.lr, schedule=cfg.lr_schedule,
-                total_steps=cfg.epochs * cfg.v_steps,
-            ),
+            u_optimizer=u_opt, v_optimizer=v_opt,
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
         learned_E = E_exact
 

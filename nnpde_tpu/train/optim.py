@@ -39,3 +39,33 @@ def make_optimizer(
             [optax.linear_schedule(0.0, lr, warmup), sched], [warmup]
         )
     return optax.adam(sched)
+
+
+def make_wan_optimizers(
+    lr: float,
+    *,
+    v_lr: float | None = None,
+    schedule: str = "constant",
+    epochs: int,
+    v_steps: int,
+    **kw,
+):
+    """Consistent (primal, critic) optimizer pair for fit_wan.
+
+    The critic takes ``v_steps`` inner updates per epoch, so its schedule
+    horizon must be ``epochs * v_steps`` — sizing it ``epochs`` decays the
+    critic lr v_steps-times too fast and de-synchronises the minimax
+    annealing (the round-1 ``fixedcritic`` regression, ACCEPTANCE.json).
+    This helper is the one place that invariant lives; WAN call sites
+    should build their optimizers here.
+
+    ``v_lr``: two-timescale GDA — a faster critic (e.g. 2-4x; the KH
+    reference uses 2x, KH_1D.py:336) measurably lowers the 2D WAN floor
+    (artifacts/wan_floor_screen.json).
+    """
+    u_opt = make_optimizer(lr, schedule=schedule, total_steps=epochs, **kw)
+    v_opt = make_optimizer(
+        v_lr if v_lr is not None else lr,
+        schedule=schedule, total_steps=epochs * v_steps, **kw,
+    )
+    return u_opt, v_opt

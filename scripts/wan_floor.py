@@ -53,6 +53,16 @@ VARIANTS = {
     "eg_twotime_60k": {"minimax": "extragradient", "v_lr": 4e-3,
                        "epochs": 60000},
     "twotime8x": {"v_lr": 8e-3},
+    # round C: push the round-B winner (eg_twotime_bigcritic 3.85e-3,
+    # still improving at 30k) to convergence
+    "eg_twotime_bigcritic_100k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "epochs": 100000,
+    },
+    "eg_twotime_bigcritic_ema_100k": {
+        "minimax": "extragradient", "v_lr": 4e-3, "u_ema": 0.9995,
+        "v_layers": (2, 100, 100, 100, 1), "epochs": 100000,
+    },
 }
 
 

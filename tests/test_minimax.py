@@ -90,3 +90,31 @@ def test_wan_modes_on_ipw2d_smoke():
         ))
         assert np.all(np.isfinite(out["history"]["l2"]))
         assert "l2_ema" in out["history"]
+
+
+def test_make_wan_optimizers_schedule_horizons():
+    """The critic schedule must span epochs*v_steps updates (the round-1
+    'fixedcritic' regression): after its full horizon, a cosine critic lr
+    has decayed to final_scale; the primal reaches the same point after
+    only `epochs` updates."""
+    from nnpde_tpu.train import make_wan_optimizers
+
+    epochs, v_steps, lr = 100, 5, 1e-2
+    u_opt, v_opt = make_wan_optimizers(
+        lr, schedule="cosine", epochs=epochs, v_steps=v_steps)
+
+    def last_update_scale(opt, n_steps):
+        p = {"x": jnp.zeros(())}
+        g = {"x": jnp.ones(())}
+        s = opt.init(p)
+        for _ in range(n_steps):
+            upd, s = opt.update(g, s, p)
+        return abs(float(upd["x"]))
+
+    # stepping the critic only `epochs` times must leave it mid-schedule
+    # (lr well above the floor), not fully decayed
+    v_mid = last_update_scale(v_opt, epochs)
+    v_end = last_update_scale(v_opt, epochs * v_steps)
+    u_end = last_update_scale(u_opt, epochs)
+    assert v_mid > 3 * v_end
+    assert abs(v_end - u_end) / u_end < 0.2  # same floor at their horizons
