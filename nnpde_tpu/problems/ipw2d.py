@@ -79,6 +79,9 @@ class IPW2DConfig:
     # float32 | bfloat16 | hybrid (PINN + DRM; see problems/poisson.py)
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
+    # jet/gradient backend: 'pallas' = lane-packed VMEM kernels on TPU
+    # (PINN jets AND the DRM/WAN value+grad path; BENCHMARKS.md)
+    jet_impl: str = "xla"
     chunk: int = 1000
     # Optional overrides of the reference weight table.  NOTE: the reference
     # table has lambda_data = 0 and no norm loss (IPW_2D.py:172-177), so its
@@ -103,7 +106,10 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
     return jnp.stack(cols, axis=1)
 
 
-def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
+def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict:
+    """``init_params``/``init_v_params`` warm-start the nets (staged-
+    annealing protocol for the WAN minimax: converge at one lr horizon,
+    restart the schedule from the best iterate at a lower lr)."""
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
     if cfg.compute_dtype not in ("float32", "bfloat16", "hybrid"):
@@ -132,7 +138,7 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
     )
     model = SolutionModel(NetSpec(tuple(cfg.layers), activation="sin"), factor)
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init(key)
+    params = init_params if init_params is not None else model.init(key)
 
     X = meshgrid_2d(cfg.grid_n, 0.0, L)                       # (n^2, 2)
     u_exact = phys.psi_2d(nx, ny, X[:, 0], X[:, 1], L)
@@ -218,15 +224,16 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
                 X_c = X.astype(jnp.bfloat16)
             else:
                 p_c, X_c = params, X
+            impl = cfg.jet_impl if dtype != "bfloat16" else "xla"
             if cfg.method == "PINN":
-                jet = model.fields(p_c, X_c)
+                jet = model.fields(p_c, X_c, impl=impl)
                 u = jet.value.astype(jnp.float32)
                 pde = pinn_helmholtz(
                     u, jet.lap.astype(jnp.float32), k_squared
                 )
                 drm = jnp.asarray(0.0)
             else:
-                u, g = model.value_and_grad(p_c, X_c)
+                u, g = model.value_and_grad(p_c, X_c, impl=impl)
                 u = u.astype(jnp.float32)
                 pde = jnp.asarray(0.0)
                 drm = drm_rayleigh_unscaled(
@@ -259,7 +266,8 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
             NetSpec(tuple(cfg.v_layers), activation="sin"),
             factor_for_technique("FBC", dim=2, kind="box", L=L),
         )
-        v_params = v_model.init(jax.random.fold_in(key, 9))
+        v_params = (init_v_params if init_v_params is not None
+                    else v_model.init(jax.random.fold_in(key, 9)))
         if cfg.n_test_grid > 1:
             from ..ops import bump_grid, bump_w_multi
 
@@ -279,8 +287,8 @@ def train_ipw_2d(cfg: IPW2DConfig) -> Dict:
                 wv_c, dwv_c = (None, None) if cfg.n_test_grid > 1 else (
                     wv_const, dwv_const
                 )
-            u, gu = model.value_and_grad(u_params, Xw)
-            v, gv = v_model.value_and_grad(v_params, Xw)
+            u, gu = model.value_and_grad(u_params, Xw, impl=cfg.jet_impl)
+            v, gv = v_model.value_and_grad(v_params, Xw, impl=cfg.jet_impl)
             if cfg.n_test_grid > 1:
                 if cfg.wan_resample and key is not None:
                     from ..ops import bump_w_multi

@@ -149,7 +149,11 @@ def run_kh_methods(epochs=5000):
     targets = {"PINN": (1e-6, 1e-4), "DRM": (1e-6, 1e-4),
                "WAN": (1e-6, 1e-3)}
     t0 = time.time()
-    rows = run_compare(KHCompareConfig(n_max=1, epochs=epochs))
+    # the artifact-sweep protocol (exp/sweeps.py sweep_kh_alpha): half the
+    # grid supervised, 500-point cap — the config the thresholds came from
+    rows = run_compare(KHCompareConfig(
+        n_max=1, epochs=epochs, data_fraction=0.5, max_data_points=500,
+    ))
     for row in rows:
         m = row["method"]
         l2_t, e_t = targets[m]

@@ -92,10 +92,50 @@ def run(name, overrides):
     })
 
 
+def run_staged(name, overrides, stages=((1e-3, 30000), (2e-4, 30000),
+                                        (5e-5, 20000))):
+    """Staged annealing: the 60k single-cosine run REGRESSED vs 30k
+    (8.9e-3 vs 4.9e-3 — a long horizon keeps the minimax lr high too
+    long), so instead converge per horizon and restart the schedule from
+    the best iterate at a lower lr."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    t0 = time.time()
+    u_p = v_p = None
+    history = []
+    for lr, epochs in stages:
+        cfg = IPW2DConfig(**{**BASE, **overrides, "lr": lr,
+                             "v_lr": 4.0 * lr, "epochs": epochs})
+        out = train_ipw_2d(cfg, init_params=u_p, init_v_params=v_p)
+        u_p = out["result"].best_params
+        v_p = out["result"].best_v_params
+        history.append({"lr": lr, "epochs": epochs,
+                        "rel_l2": out["rel_l2"],
+                        "best_epoch": out["min_epoch"]})
+        print(f"[wan_floor:{name}] stage lr={lr}: {out['rel_l2']:.3e}",
+              flush=True)
+    record(name, {
+        "rel_l2": history[-1]["rel_l2"],
+        "stages": history,
+        "overrides": {k: str(v) for k, v in overrides.items()},
+        "elapsed_s": round(time.time() - t0, 1),
+    })
+
+
+STAGED = {
+    "staged_eg_bigcritic": {"minimax": "extragradient",
+                            "v_layers": (2, 100, 100, 100, 1)},
+    "staged_eg": {"minimax": "extragradient"},
+}
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args or args[0] == "--list":
-        print("\n".join(VARIANTS))
+        print("\n".join(list(VARIANTS) + list(STAGED)))
         sys.exit(0)
     for a in args:
-        run(a, VARIANTS[a])
+        if a in STAGED:
+            run_staged(a, STAGED[a])
+        else:
+            run(a, VARIANTS[a])
