@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layers", type=_int_list, default=[1, 50, 50, 50, 1])
     p.add_argument("--v-layers", type=_int_list, default=[1, 20, 20, 20, 1])
     p.add_argument("--v-steps", type=int, default=5)
+    p.add_argument("--minimax",
+                   choices=["alternating", "extragradient", "optimistic"],
+                   default="alternating",
+                   help="WAN saddle-point update rule")
+    p.add_argument("--v-lr", type=float, default=None,
+                   help="two-timescale critic lr (default: same as --lr)")
+    p.add_argument("--u-ema", type=float, default=0.0,
+                   help="EMA decay for the averaged primal iterate")
     _add_common(p, epochs=3000)
 
     p = sub.add_parser("ipw2d", help="2D infinite well (PINN/DRM/WAN)")
@@ -116,6 +124,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype",
                    choices=["float32", "bfloat16", "hybrid"],
                    default="float32")
+    p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",
+                   help="pallas = lane-packed VMEM kernels (TPU)")
+    p.add_argument("--minimax",
+                   choices=["alternating", "extragradient", "optimistic"],
+                   default="alternating",
+                   help="WAN saddle-point update rule")
+    p.add_argument("--v-lr", type=float, default=None,
+                   help="two-timescale critic lr (default: same as --lr)")
+    p.add_argument("--u-ema", type=float, default=0.0,
+                   help="EMA decay for the averaged primal iterate")
     p.add_argument("--lbfgs", action="store_true")
     p.add_argument("--weights", type=json.loads, default=None,
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
@@ -128,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--technique", choices=["BC", "OG", "FN"], default="FN")
     p.add_argument("--layers", type=_int_list, default=[1, 200, 200, 200, 1])
     p.add_argument("--lbfgs", action="store_true")
+    p.add_argument("--lbfgs-mode", choices=["polish", "replace"],
+                   default="polish",
+                   help="replace = L-BFGS instead of Adam (the reference's "
+                        "QHO-1D mode, QHO_1D_PINN_DRM.py:437-439)")
+    p.add_argument("--lbfgs-iters", type=int, default=500)
     _add_common(p, epochs=3000)
 
     p = sub.add_parser("qho1d-wan", help="1D QHO via WAN (trainable energy)")
@@ -137,6 +160,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layers", type=_int_list, default=[1, 200, 200, 200, 1])
     p.add_argument("--v-layers", type=_int_list, default=[1, 100, 100, 100, 1])
     p.add_argument("--v-steps", type=int, default=5)
+    p.add_argument("--minimax",
+                   choices=["alternating", "extragradient", "optimistic"],
+                   default="alternating",
+                   help="WAN saddle-point update rule")
+    p.add_argument("--v-lr", type=float, default=None,
+                   help="two-timescale critic lr (default: same as --lr)")
+    p.add_argument("--u-ema", type=float, default=0.0,
+                   help="EMA decay for the averaged primal iterate")
     _add_common(p, epochs=3000)
 
     p = sub.add_parser("qho2d", help="2D harmonic oscillator (PINN/DRM/WAN)")
@@ -147,11 +178,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--technique", choices=["FBC", "FN", "OG"], default="FBC")
     p.add_argument("--grid-n", type=int, default=200)
     p.add_argument("--trainable-energy", action="store_true")
+    p.add_argument("--energy-lr", type=float, default=None,
+                   help="separate Adam lr for the trainable-E leaf "
+                        "(optax.multi_transform; fixes long-run E drift)")
     p.add_argument("--energy-variant", action="store_true",
                    help="use the QHO_2D_Energy paper weight table")
     p.add_argument("--lr-schedule", choices=["constant", "cosine",
                                              "exponential"],
                    default="constant")
+    p.add_argument("--minimax",
+                   choices=["alternating", "extragradient", "optimistic"],
+                   default="alternating",
+                   help="WAN saddle-point update rule")
+    p.add_argument("--v-lr", type=float, default=None,
+                   help="two-timescale critic lr (default: same as --lr)")
+    p.add_argument("--u-ema", type=float, default=0.0,
+                   help="EMA decay for the averaged primal iterate")
     p.add_argument("--lbfgs", action="store_true")
     _add_common(p, epochs=10000)
 
@@ -242,7 +284,8 @@ def _dispatch(args) -> int:
         cfg = IPW1DWanConfig(n=args.n, L=args.L, technique=args.technique,
                              layers=tuple(args.layers),
                              v_layers=tuple(args.v_layers),
-                             v_steps=args.v_steps, **kw)
+                             v_steps=args.v_steps, minimax=args.minimax,
+                             v_lr=args.v_lr, u_ema=args.u_ema, **kw)
         out = run_ipw_1d_wan(cfg, **_sd(args, "results/Infinite_Potential_Well_1D"))
     elif args.cmd == "ipw2d":
         from ..problems.ipw2d import IPW2DConfig
@@ -254,6 +297,8 @@ def _dispatch(args) -> int:
                           n_test_grid=args.n_test_grid,
                           lr_schedule=args.lr_schedule,
                           compute_dtype=args.compute_dtype,
+                          jet_impl=args.jet_impl, minimax=args.minimax,
+                          v_lr=args.v_lr, u_ema=args.u_ema,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
     elif args.cmd == "qho1d":
@@ -262,7 +307,8 @@ def _dispatch(args) -> int:
 
         cfg = QHO1DConfig(n=args.n, x_max=args.x_max, method=args.method,
                           technique=args.technique, layers=tuple(args.layers),
-                          LBFGS=args.lbfgs, **kw)
+                          LBFGS=args.lbfgs, lbfgs_mode=args.lbfgs_mode,
+                          lbfgs_iters=args.lbfgs_iters, **kw)
         out = run_qho_1d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_1D"))
     elif args.cmd == "qho1d-wan":
         from ..problems.qho import QHO1DWanConfig
@@ -272,7 +318,8 @@ def _dispatch(args) -> int:
                              technique=args.technique,
                              layers=tuple(args.layers),
                              v_layers=tuple(args.v_layers),
-                             v_steps=args.v_steps, **kw)
+                             v_steps=args.v_steps, minimax=args.minimax,
+                             v_lr=args.v_lr, u_ema=args.u_ema, **kw)
         out = run_qho_1d_wan(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_1D"))
     elif args.cmd == "qho2d":
         from ..problems.qho2d import QHO2DConfig
@@ -281,8 +328,10 @@ def _dispatch(args) -> int:
         cfg = QHO2DConfig(nx=args.nx, ny=args.ny, L=args.L, method=args.method,
                           technique=args.technique, grid_n=args.grid_n,
                           trainable_energy=args.trainable_energy,
+                          energy_lr=args.energy_lr,
                           energy_variant=args.energy_variant,
-                          lr_schedule=args.lr_schedule,
+                          lr_schedule=args.lr_schedule, minimax=args.minimax,
+                          v_lr=args.v_lr, u_ema=args.u_ema,
                           LBFGS=args.lbfgs, **kw)
         out = run_qho_2d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_2D"))
     elif args.cmd == "sweep":
