@@ -76,6 +76,10 @@ class IPW2DConfig:
     n_boundary: int = 200
     seed: int = 0
     lr_schedule: str = "constant"   # constant | cosine | exponential
+    # decay horizon when shorter than epochs: past it the lr holds at the
+    # schedule floor (train/optim.py decay_steps; the WAN "decay fast,
+    # then hold" protocol — wan_floor_screen.json)
+    lr_decay_steps: int = 0
     # float32 | bfloat16 | hybrid (PINN + DRM; see problems/poisson.py)
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
@@ -329,6 +333,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
         u_opt, v_opt = make_wan_optimizers(
             cfg.lr, v_lr=cfg.v_lr, schedule=cfg.lr_schedule,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
+            decay_steps=cfg.lr_decay_steps,
         )
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
@@ -339,7 +344,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
         )
     else:
         optimizer = make_optimizer(
-            cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
+            cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,
+            decay_steps=cfg.lr_decay_steps,
         )
         if cfg.compute_dtype == "hybrid":
             import numpy as _np

@@ -18,19 +18,30 @@ def make_optimizer(
     total_steps: int = 0,
     final_scale: float = 0.01,
     warmup: int = 0,
+    decay_steps: int = 0,
 ) -> optax.GradientTransformation:
     """schedule in {constant, cosine, exponential}; warmup (if any) applies
-    uniformly as a linear ramp before the named schedule."""
+    uniformly as a linear ramp before the named schedule.
+
+    ``decay_steps`` (cosine/exponential): decay horizon when shorter than
+    ``total_steps`` — past it the lr HOLDS at ``final_scale * lr``
+    (optax's cosine semantics).  Motivated by the 2D WAN minimax: all the
+    accuracy gain happens in the decayed-lr regime, but stretching one
+    cosine over a 2x horizon keeps the lr high too long and REGRESSES
+    (artifacts/wan_floor_screen.json eg_twotime_60k vs eg_twotime), and
+    restarting a fresh schedule from the best iterate also regresses
+    (staged_* rows) — decay fast, then hold."""
+    horizon = decay_steps if decay_steps > 0 else total_steps
     if schedule == "constant":
         sched = optax.constant_schedule(lr)
     elif schedule == "cosine":
         sched = optax.cosine_decay_schedule(
-            lr, decay_steps=max(total_steps - warmup, 1), alpha=final_scale
+            lr, decay_steps=max(horizon - warmup, 1), alpha=final_scale
         )
     elif schedule == "exponential":
         sched = optax.exponential_decay(
-            lr, transition_steps=max(total_steps - warmup, 1),
-            decay_rate=final_scale,
+            lr, transition_steps=max(horizon - warmup, 1),
+            decay_rate=final_scale, end_value=final_scale * lr,
         )
     else:
         raise ValueError(f"Unknown lr schedule {schedule!r}")
@@ -48,6 +59,7 @@ def make_wan_optimizers(
     schedule: str = "constant",
     epochs: int,
     v_steps: int,
+    decay_steps: int = 0,
     **kw,
 ):
     """Consistent (primal, critic) optimizer pair for fit_wan.
@@ -63,9 +75,11 @@ def make_wan_optimizers(
     reference uses 2x, KH_1D.py:336) measurably lowers the 2D WAN floor
     (artifacts/wan_floor_screen.json).
     """
-    u_opt = make_optimizer(lr, schedule=schedule, total_steps=epochs, **kw)
+    u_opt = make_optimizer(lr, schedule=schedule, total_steps=epochs,
+                           decay_steps=decay_steps, **kw)
     v_opt = make_optimizer(
         v_lr if v_lr is not None else lr,
-        schedule=schedule, total_steps=epochs * v_steps, **kw,
+        schedule=schedule, total_steps=epochs * v_steps,
+        decay_steps=decay_steps * v_steps, **kw,
     )
     return u_opt, v_opt

@@ -63,6 +63,31 @@ VARIANTS = {
         "minimax": "extragradient", "v_lr": 4e-3, "u_ema": 0.9995,
         "v_layers": (2, 100, 100, 100, 1), "epochs": 100000,
     },
+    # round D: attack the 3.85e-3 plateau.  Staging regressed (fresh
+    # schedule from the best iterate diverges immediately); instead
+    # (a) decay fast then HOLD at the floor lr, (b) couple the exact-data
+    # quadrant to the rest of the domain harder (parity/symmetry 1 -> 1000,
+    # the QHO_2D_Energy.py:312-313 weighting), (c) pure pair updates.
+    "eg_tt_bc_hold80k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "epochs": 80000,
+        "lr_decay_steps": 30000,
+    },
+    "eg_tt_bc_ps1000": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0},
+    },
+    "eg_tt_bc_v1": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "v_steps": 1,
+    },
+    "eg_tt_bc_ps1000_hold80k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "epochs": 80000,
+        "lr_decay_steps": 30000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0},
+    },
 }
 
 

@@ -118,3 +118,26 @@ def test_make_wan_optimizers_schedule_horizons():
     u_end = last_update_scale(u_opt, epochs)
     assert v_mid > 3 * v_end
     assert abs(v_end - u_end) / u_end < 0.2  # same floor at their horizons
+
+
+def test_cosine_decay_then_hold():
+    """decay_steps < total_steps: the lr decays over decay_steps then HOLDS
+    at the schedule floor for the rest of the run (the WAN 'decay fast,
+    then hold' protocol; train/optim.py)."""
+    from nnpde_tpu.train import make_optimizer
+
+    opt = make_optimizer(1e-2, schedule="cosine", total_steps=1000,
+                         decay_steps=200)
+    p = {"x": jnp.zeros(())}
+    s = opt.init(p)
+    g = {"x": jnp.ones(())}
+
+    def scale_at(n):
+        st = s
+        for _ in range(n):
+            upd, st = opt.update(g, st, p)
+        return abs(float(upd["x"]))
+
+    early, floor_a, floor_b = scale_at(10), scale_at(300), scale_at(900)
+    assert early > 3 * floor_a           # decayed well before total_steps
+    assert abs(floor_a - floor_b) / floor_a < 0.05   # flat hold after decay
