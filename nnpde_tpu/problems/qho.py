@@ -206,6 +206,8 @@ class QHO1DWanConfig:
     minimax: str = "alternating"
     v_lr: Optional[float] = None
     u_ema: float = 0.0
+    lr_schedule: str = "constant"   # constant | cosine | exponential
+    lr_decay_steps: int = 0         # decay-then-hold horizon (train/optim.py)
     seed: int = 0
     chunk: int = 500
 
@@ -288,6 +290,7 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
 
     u_opt, v_opt = make_wan_optimizers(
         cfg.lr, v_lr=cfg.v_lr, epochs=cfg.epochs, v_steps=cfg.v_steps,
+        schedule=cfg.lr_schedule, decay_steps=cfg.lr_decay_steps,
     )
     result = fit_wan(
         u_loss_fn, v_loss_fn, eval_fn, u_params, v_params,

@@ -82,6 +82,56 @@ def run_qho1d(n, method, epochs=10000):
     record(f"qho1d_n{n}_{method.lower()}_fn", {
         "best_mse": out["L2_error"], "best_epoch": out["min_epoch"],
         "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+        "target": "best_mse <= 1e-3 (Adam; see _lbfgs rows for the "
+                  "reference's LBFGS-replaces-Adam mode)",
+        "pass": bool(out["L2_error"] <= 1e-3),
+    })
+    return out
+
+
+def run_qho1d_lbfgs(n, method, iters=3000):
+    """QHO-1D in the reference's actual optimizer mode — L-BFGS from
+    scratch instead of Adam (QHO_1D_PINN_DRM.py:437-439).  The Adam rows
+    above drift at the MC noise floor for n >= 2; full-batch L-BFGS with
+    strong-Wolfe reaches ~1e-8 MSE (qho1d_n2_pinn_fn_lbfgs_value)."""
+    from nnpde_tpu.problems.qho import QHO1DConfig, train_qho_1d
+
+    t0 = time.time()
+    out = train_qho_1d(QHO1DConfig(
+        n=n, method=method, technique="FN", epochs=0,
+        LBFGS=True, lbfgs_mode="replace", lbfgs_iters=iters,
+    ))
+    record(f"qho1d_n{n}_{method.lower()}_fn_lbfgs", {
+        "best_mse": out["L2_error"], "lbfgs_iters": iters,
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "best_mse <= 1e-5",
+        "pass": bool(out["L2_error"] <= 1e-5),
+    })
+    return out
+
+
+def run_qho1d_wan_trainE(n, epochs=10000):
+    """WAN with trainable eigenvalue (QHO_1D_WAN.py:101,131), using the
+    round-2 minimax machinery: extragradient pair updates, 2x critic lr,
+    cosine decay-then-hold — the constant-lr 3k-epoch rows left E
+    diffusing 0.02-0.13 off; the decayed-lr regime pins it."""
+    from nnpde_tpu.problems.qho import QHO1DWanConfig, train_qho_1d_wan
+
+    t0 = time.time()
+    out = train_qho_1d_wan(QHO1DWanConfig(
+        n=n, technique="OG", epochs=epochs,
+        minimax="extragradient", v_lr=2e-3,
+        lr_schedule="cosine", lr_decay_steps=epochs // 2,
+    ))
+    e_err = abs(out["E_est"] - out["E_exact"])
+    record(f"qho1d_n{n}_wan_og_trainE", {
+        "best_mse": out["L2_error"], "E_est": out["E_est"],
+        "E_exact": out["E_exact"], "E_abs_err": e_err, "epochs": epochs,
+        "minimax": "extragradient", "v_lr": 2e-3,
+        "lr_schedule": "cosine+hold",
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "E_abs_err <= 1e-2; best_mse <= 1e-3",
+        "pass": bool(e_err <= 1e-2 and out["L2_error"] <= 1e-3),
     })
     return out
 
@@ -99,10 +149,13 @@ def run_kh(epochs=10000):
         lambda_pde=10.0, lambda_data=1e4, lambda_norm=10.0,
         data_fraction=0.5, max_data_points=500, lambda_parity=1e4,
     ), gt)
+    e_err = abs(out["E_est"] - out["E_ref"])
     record("kh1d_alpha10_pinn", {
         "best_mse": out["L2"], "E_est": out["E_est"], "E_ref": out["E_ref"],
-        "E_abs_err": abs(out["E_est"] - out["E_ref"]),
+        "E_abs_err": e_err,
         "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+        "target": "best_mse <= 1e-6; E_abs_err <= 1e-4",
+        "pass": bool(out["L2"] <= 1e-6 and e_err <= 1e-4),
     })
     return out
 
@@ -206,6 +259,13 @@ if __name__ == "__main__":
         for n in range(4):
             run_qho1d(n, "PINN")
             run_qho1d(n, "DRM")
+    if which in ("all", "qho-lbfgs"):
+        for n in range(4):
+            run_qho1d_lbfgs(n, "PINN")
+            run_qho1d_lbfgs(n, "DRM")
+    if which in ("all", "qho-wan"):
+        for n in range(4):
+            run_qho1d_wan_trainE(n)
     if which in ("all", "kh"):
         run_kh()
     if which in ("all", "kh-methods"):
