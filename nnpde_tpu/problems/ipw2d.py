@@ -127,6 +127,10 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             "bandwidth-limited — use problems/poisson.py WAN for the bf16 "
             "path)"
         )
+    # Mosaic compile-time cliff (see problems/poisson.py): cap the epoch-
+    # scan length on the pallas jet path — chunk<=500 compiles in seconds,
+    # chunk=1000 took >9 min on the remote TPU compile service.
+    chunk = min(cfg.chunk, 500) if cfg.jet_impl == "pallas" else cfg.chunk
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -339,7 +343,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
             u_optimizer=u_opt, v_optimizer=v_opt,
-            key=jax.random.fold_in(key, 1), chunk=min(cfg.chunk, 500),
+            key=jax.random.fold_in(key, 1), chunk=min(chunk, 500),
             minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
     else:
@@ -358,12 +362,12 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             r1 = fit(
                 lambda p, k: lt16(p), eval_fn, params,
                 epochs=bulk, optimizer=optimizer,
-                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+                key=jax.random.fold_in(key, 1), chunk=chunk,
             )
             result = fit(
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs - bulk, optimizer=optimizer,
-                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+                key=jax.random.fold_in(key, 1), chunk=chunk,
                 start_epoch=bulk, init_carry=r1.carry,
             )
             hist = {k: _np.concatenate([r1.history[k], result.history[k]])
@@ -373,7 +377,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             result = fit(
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs, optimizer=optimizer,
-                key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+                key=jax.random.fold_in(key, 1), chunk=chunk,
             )
         if cfg.LBFGS:
             polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,

@@ -154,6 +154,11 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         )
     if cfg.jet_impl not in ("xla", "pallas"):
         raise ValueError("jet_impl must be 'xla' or 'pallas'")
+    # Mosaic compile-time cliff: a lax.scan of >~500 steps whose body
+    # carries the Pallas jet custom-calls compiles in seconds at chunk<=500
+    # but >9 min at chunk=1000 on the remote TPU compile service (TODO #6
+    # measurement, round 2) — cap the epoch-scan length on the pallas path.
+    chunk = min(cfg.chunk, 500) if cfg.jet_impl == "pallas" else cfg.chunk
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":
@@ -292,12 +297,12 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             tail = cfg.epochs - bulk
             r1 = fit(
                 make_loss_fn("bfloat16"), eval_fn, params,
-                epochs=bulk, optimizer=optimizer, key=k_train, chunk=cfg.chunk,
+                epochs=bulk, optimizer=optimizer, key=k_train, chunk=chunk,
             )
             result = fit(
                 make_loss_fn("float32"), eval_fn, params,
                 epochs=tail, optimizer=optimizer, key=k_train,
-                chunk=cfg.chunk, start_epoch=bulk, init_carry=r1.carry,
+                chunk=chunk, start_epoch=bulk, init_carry=r1.carry,
             )
             hist = {k: np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
@@ -306,7 +311,7 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             result = fit(
                 make_loss_fn(cfg.compute_dtype), eval_fn, params,
                 epochs=cfg.epochs, optimizer=optimizer, key=k_train,
-                chunk=cfg.chunk,
+                chunk=chunk,
             )
     else:  # WAN
         critic = _critic_model(cfg)
@@ -379,7 +384,7 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         )
         wan_kw = dict(
             v_steps=cfg.critic_steps, u_optimizer=optimizer,
-            v_optimizer=v_optimizer, key=k_train, chunk=min(cfg.chunk, 500),
+            v_optimizer=v_optimizer, key=k_train, chunk=min(chunk, 500),
             minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
         if cfg.compute_dtype == "hybrid":
