@@ -299,6 +299,17 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         key=jax.random.fold_in(key, 2), chunk=cfg.chunk,
         minimax=cfg.minimax, u_ema=cfg.u_ema,
     )
+    # Rayleigh-quotient energy of the best iterate: <1/2 u'^2 + V u^2> /
+    # <u^2>.  The weak-form E parameter is only first-order accurate in the
+    # u-error (measured: systematically ~1-3% HIGH across n); the Rayleigh
+    # quotient is variational — second-order accurate — so it is the better
+    # final estimate.  (The reference's DRM "tracks" E the same way,
+    # KH_1D.py:393-399; here we apply it to the WAN best iterate.)
+    u_b, gu_b = u_model.value_and_grad(result.best_params["net"], x_grid)
+    E_rayleigh = float(
+        jnp.mean(0.5 * jnp.sum(gu_b**2, -1) + V * u_b**2)
+        / (jnp.mean(u_b**2) + 1e-12)
+    )
     return {
         "config": dataclasses.asdict(cfg),
         "model": u_model,
@@ -308,6 +319,7 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         "L2_error": float(result.best_metric),
         "min_epoch": result.best_epoch,
         "E_est": float(result.best_params["E"]),
+        "E_rayleigh": E_rayleigh,
         "E_exact": phys.energy_1d(n),
         "weights": w,
     }

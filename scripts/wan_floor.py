@@ -88,6 +88,23 @@ VARIANTS = {
         "lr_decay_steps": 30000,
         "weights": {"parity": 1000.0, "symmetry": 1000.0},
     },
+    # round E: the weight table is the lever that works (ps1000 cut
+    # 3.85e-3 -> 2.82e-3; schedule tricks all flat) — push it further
+    "eg_tt_bc_ps1e4": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1e4, "symmetry": 1e4},
+    },
+    "eg_tt_bc_ps1000_pde100": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "pde": 100.0},
+    },
+    "eg_tt_bc_ps1000_norm1e4": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
 }
 
 
@@ -102,6 +119,26 @@ def record(name, payload):
     print(f"[wan_floor] {name}: {json.dumps(payload)}", flush=True)
 
 
+def scale_optimal_rel_l2(out):
+    """rel-L2 after optimal amplitude rescale: min_c ||c u - psi|| / ||psi||.
+
+    Separates the floor into amplitude mis-calibration (the norm penalty
+    only pins int u^2 ~ 1 softly) vs genuine shape error — if this is much
+    below rel_l2, raise the norm weight / post-scale; if equal, the shape
+    itself is the floor."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.pde import ipw as phys
+    from nnpde_tpu.sampling import meshgrid_2d
+
+    cfg_d = out["config"]
+    X = meshgrid_2d(cfg_d["grid_n"], 0.0, cfg_d["L"])
+    psi = phys.psi_2d(cfg_d["nx"], cfg_d["ny"], X[:, 0], X[:, 1], cfg_d["L"])
+    u = out["model"].apply_batch(out["result"].best_params, X)
+    c = jnp.vdot(u, psi) / jnp.vdot(u, u)
+    return float(jnp.linalg.norm(c * u - psi) / jnp.linalg.norm(psi))
+
+
 def run(name, overrides):
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
@@ -110,6 +147,7 @@ def run(name, overrides):
     out = train_ipw_2d(cfg)
     record(name, {
         "rel_l2": out["rel_l2"],
+        "rel_l2_scaled": scale_optimal_rel_l2(out),
         "best_epoch": out["min_epoch"],
         "epochs": cfg.epochs,
         "overrides": {k: str(v) for k, v in overrides.items()},
