@@ -105,3 +105,28 @@ def test_qho_1d_wan_trainable_energy():
     assert abs(out["E_est"] - out["E_exact"]) < 0.5
     assert out["L2_error"] < out["history"]["l2"][0]
     assert "E" in out["history"]
+
+
+def test_qho_1d_wan_reports_rayleigh_energy():
+    """E_rayleigh must be the variational estimate of the best iterate —
+    for a short run it is finite and at least as close to E_exact as a
+    random init would be; for the EXACT eigenstate the quotient formula
+    recovers the exact energy (checked directly on the grid)."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.pde import qho as phys
+    from nnpde_tpu.sampling import linspace_grid
+
+    out = train_qho_1d_wan(QHO1DWanConfig(
+        n=0, technique="OG", epochs=200, chunk=100,
+        layers=(1, 32, 32, 1), v_layers=(1, 16, 16, 1), v_steps=2,
+    ))
+    assert np.isfinite(out["E_rayleigh"])
+
+    # quotient formula sanity on the exact state (finite-difference grad):
+    x = linspace_grid(4001, -6.0, 6.0)[:, 0]
+    psi = phys.psi_1d(1, x)
+    dpsi = jnp.gradient(psi, x)
+    V = phys.potential_1d(x)
+    E_ray = float(jnp.mean(0.5 * dpsi**2 + V * psi**2) / jnp.mean(psi**2))
+    assert abs(E_ray - phys.energy_1d(1)) < 2e-3
