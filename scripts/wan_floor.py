@@ -126,6 +126,7 @@ def scale_optimal_rel_l2(out):
     only pins int u^2 ~ 1 softly) vs genuine shape error — if this is much
     below rel_l2, raise the norm weight / post-scale; if equal, the shape
     itself is the floor."""
+    import jax
     import jax.numpy as jnp
 
     from nnpde_tpu.pde import ipw as phys
@@ -134,9 +135,14 @@ def scale_optimal_rel_l2(out):
     cfg_d = out["config"]
     X = meshgrid_2d(cfg_d["grid_n"], 0.0, cfg_d["L"])
     psi = phys.psi_2d(cfg_d["nx"], cfg_d["ny"], X[:, 0], X[:, 1], cfg_d["L"])
-    u = out["model"].apply_batch(out["result"].best_params, X)
-    c = jnp.vdot(u, psi) / jnp.vdot(u, u)
-    return float(jnp.linalg.norm(c * u - psi) / jnp.linalg.norm(psi))
+    # the trainer evaluates under highest matmul precision; without it the
+    # TPU's default bf16-ish forward adds ~3.5e-3 noise and the diagnostic
+    # reads HIGHER than the training rel_l2 (observed on the
+    # eg_tt_bc_ps1000_hold80k row — its rel_l2_scaled is bogus)
+    with jax.default_matmul_precision("highest"):
+        u = out["model"].apply_batch(out["result"].best_params, X)
+        c = jnp.vdot(u, psi) / jnp.vdot(u, u)
+        return float(jnp.linalg.norm(c * u - psi) / jnp.linalg.norm(psi))
 
 
 def run(name, overrides):
