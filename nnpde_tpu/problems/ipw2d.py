@@ -80,6 +80,9 @@ class IPW2DConfig:
     # schedule floor (train/optim.py decay_steps; the WAN "decay fast,
     # then hold" protocol — wan_floor_screen.json)
     lr_decay_steps: int = 0
+    # schedule floor as a fraction of lr (cosine alpha / exponential
+    # decay_rate; train/optim.py final_scale)
+    lr_final_scale: float = 0.01
     # float32 | bfloat16 | hybrid (PINN + DRM; see problems/poisson.py)
     compute_dtype: str = "float32"
     hybrid_bf16_fraction: float = 0.8
@@ -338,6 +341,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             cfg.lr, v_lr=cfg.v_lr, schedule=cfg.lr_schedule,
             epochs=cfg.epochs, v_steps=cfg.v_steps,
             decay_steps=cfg.lr_decay_steps,
+            final_scale=cfg.lr_final_scale,
         )
         result = fit_wan(
             u_loss_fn, v_loss_fn, eval_fn, params, v_params,
@@ -349,7 +353,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
     else:
         optimizer = make_optimizer(
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,
-            decay_steps=cfg.lr_decay_steps,
+            decay_steps=cfg.lr_decay_steps, final_scale=cfg.lr_final_scale,
         )
         if cfg.compute_dtype == "hybrid":
             import numpy as _np

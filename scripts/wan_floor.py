@@ -105,6 +105,24 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1),
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round F: the best iterate improves to the very END of the decay
+    # window (ps1000 best_epoch 28539/30000), a flat hold at the floor
+    # adds nothing, and restarting ABOVE the floor loses the iterate —
+    # so keep DECAYING: log-linear 1e-3 -> 1e-7 over 60k (passes the
+    # 30k-cosine floor 1e-5 at midpoint and keeps going).
+    "eg_tt_bc_ps1000_exp60k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0},
+        "lr_schedule": "exponential", "epochs": 60000,
+        "lr_final_scale": 1e-4,
+    },
+    # seed variance of the round-D winner
+    "eg_tt_bc_ps1000_seed1": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0}, "seed": 1,
+    },
 }
 
 
