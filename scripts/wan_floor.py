@@ -105,23 +105,29 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1),
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
-    # round F: the best iterate improves to the very END of the decay
-    # window (ps1000 best_epoch 28539/30000), a flat hold at the floor
-    # adds nothing, and restarting ABOVE the floor loses the iterate —
-    # so keep DECAYING: log-linear 1e-3 -> 1e-7 over 60k (passes the
-    # 30k-cosine floor 1e-5 at midpoint and keeps going).
-    "eg_tt_bc_ps1000_exp60k": {
+    # round F: compose the round-E winner (norm1e4: 2.09e-3 — amplitude
+    # pinning was a real error component, exactly as the scaled diagnostic
+    # suggested) with (a) keep-decaying exponential 1e-3 -> 1e-7 over 60k
+    # (the best iterate improves to the very END of the decay window, a
+    # flat hold adds nothing, restarting above the floor loses the
+    # iterate), (b) an even stronger norm, (c) a seed-variance check.
+    "eg_tt_bc_ps1000_norm1e4_exp60k": {
         "minimax": "extragradient", "v_lr": 4e-3,
         "v_layers": (2, 100, 100, 100, 1),
-        "weights": {"parity": 1000.0, "symmetry": 1000.0},
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
         "lr_schedule": "exponential", "epochs": 60000,
         "lr_final_scale": 1e-4,
     },
-    # seed variance of the round-D winner
-    "eg_tt_bc_ps1000_seed1": {
+    "eg_tt_bc_ps1000_norm1e5": {
         "minimax": "extragradient", "v_lr": 4e-3,
         "v_layers": (2, 100, 100, 100, 1),
-        "weights": {"parity": 1000.0, "symmetry": 1000.0}, "seed": 1,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e5},
+    },
+    "eg_tt_bc_ps1000_norm1e4_seed1": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+        "seed": 1,
     },
 }
 
