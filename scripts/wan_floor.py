@@ -129,6 +129,26 @@ VARIANTS = {
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
         "seed": 1,
     },
+    # round G: axes never probed around the 2.09e-3 winner — primal-net
+    # capacity (width 50 -> 100: representation error?), critic capacity
+    # beyond 100, and a finer norm weight between the 1e4 optimum and the
+    # 1e5 cliff.
+    "winner_u100": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "layers": (2, 100, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_v200": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 200, 200, 200, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_norm3e4": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 3e4},
+    },
 }
 
 
