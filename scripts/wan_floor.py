@@ -149,6 +149,20 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1),
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 3e4},
     },
+    # round H: the winner's best_epoch hugs the end of the decay window
+    # (27.7-28.5k of 30k) — stretch the window itself (the old 60k-cosine
+    # regression was measured BEFORE the ps/norm weights changed the
+    # landscape), and refine the quadrature/eval grid.
+    "winner_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "epochs": 45000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_grid300": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
 }
 
 
