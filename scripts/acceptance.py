@@ -150,6 +150,34 @@ def run_qho1d_wan_trainE(n, epochs=30000):
     return out
 
 
+def run_ipw2d_n33_wan_best(epochs=30000):
+    """The 2D-well WAN north-star config at the round-2 floor-attack
+    winner settings (docs/WAN_FLOOR.md): extragradient pair updates,
+    two-timescale 4x critic lr, wide critic, parity/symmetry 1000,
+    norm 1e4, 30k cosine.  The 1e-3 target is still open — this row
+    records the framework's best measured configuration honestly
+    (round-1 floor 1.1e-2 -> ~2e-3)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    t0 = time.time()
+    out = train_ipw_2d(IPW2DConfig(
+        nx=3, ny=3, method="WAN", technique="FN", epochs=epochs,
+        lr_schedule="cosine", minimax="extragradient", v_lr=4e-3,
+        v_layers=(2, 100, 100, 100, 1),
+        weights={"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    ))
+    record("ipw2d_n33_wan_fn_minimax_best", {
+        "rel_l2": out["rel_l2"], "best_epoch": out["min_epoch"],
+        "epochs": epochs,
+        "config": "EG + v_lr 4e-3 + wide critic + ps1000 + norm1e4",
+        "round1_floor": 1.11e-2,
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-3 (north star)",
+        "pass": out["rel_l2"] <= 1e-3,
+    })
+    return out
+
+
 def run_kh(epochs=10000):
     from nnpde_tpu.pde import kh
     from nnpde_tpu.problems.kh import KHConfig, train_kh
@@ -269,6 +297,8 @@ if __name__ == "__main__":
     if which in ("all", "ipw2d"):
         run_ipw2d_n33("PINN", weights={"data": 1e4})
         run_ipw2d_n33("WAN")
+    if which in ("all", "ipw2d-wan-best"):
+        run_ipw2d_n33_wan_best()
     if which in ("all", "qho"):
         for n in range(4):
             run_qho1d(n, "PINN")
