@@ -163,6 +163,27 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round I: grid300 cut 2.09e-3 -> 1.63e-3 — the fixed-grid weak-form
+    # quadrature bias IS a component at this scale.  Push the grid and
+    # check seed variance at 300.
+    "winner_grid400": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_grid300_seed1": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300, "seed": 1,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    # more exact data in the quadrant (50x50 -> 100x100 grid, i.e. 2500
+    # supervised points instead of 625) — a framework-extension probe
+    "winner_grid300_data100": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
+        "data_grid_n": 100,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
 }
 
 
