@@ -163,13 +163,13 @@ def run_ipw2d_n33_wan_best(epochs=30000):
     out = train_ipw_2d(IPW2DConfig(
         nx=3, ny=3, method="WAN", technique="FN", epochs=epochs,
         lr_schedule="cosine", minimax="extragradient", v_lr=4e-3,
-        v_layers=(2, 100, 100, 100, 1), grid_n=300,
+        v_layers=(2, 100, 100, 100, 1), grid_n=400,
         weights={"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     ))
     record("ipw2d_n33_wan_fn_minimax_best", {
         "rel_l2": out["rel_l2"], "best_epoch": out["min_epoch"],
         "epochs": epochs,
-        "config": "EG + v_lr 4e-3 + wide critic + ps1000 + norm1e4 + grid300",
+        "config": "EG + v_lr 4e-3 + wide critic + ps1000 + norm1e4 + grid400",
         "round1_floor": 1.11e-2,
         "elapsed_s": round(time.time() - t0, 1),
         "target": "rel_l2 <= 1e-3 (north star)",
