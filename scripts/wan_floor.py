@@ -178,6 +178,14 @@ VARIANTS = {
     },
     # more exact data in the quadrant (50x50 -> 100x100 grid, i.e. 2500
     # supervised points instead of 625) — a framework-extension probe
+    # round J: at grid >= 300 the best iterate improves to the final
+    # epoch (unlike grid200, where 45k regressed) — test whether a longer
+    # decay window pays once the quadrature is fine enough.
+    "winner_grid300_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300, "epochs": 45000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     "winner_grid300_data100": {
         "minimax": "extragradient", "v_lr": 4e-3,
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
