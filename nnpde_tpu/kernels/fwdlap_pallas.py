@@ -725,6 +725,7 @@ def mlp_fwdlap_pallas(
         interpret = not pallas_available()
     Ws = tuple(W for W, _ in params)
     bs = tuple(b.reshape(1, -1) for _, b in params)
+    d_in = X.shape[1]
     if lane_pack is None:
         # auto: pack two points per 128-lane vreg when every hidden width
         # fits in half a vreg (measured: the kernel is VPU-bound at 64
@@ -734,11 +735,25 @@ def mlp_fwdlap_pallas(
         ) else 1
     if lane_pack not in (1, 2):
         raise ValueError(f"lane_pack must be 1 or 2, got {lane_pack}")
+    if lane_pack == 2 and (tile % 2 or bwd_tile % 2):
+        raise ValueError(
+            f"lane_pack=2 needs even tiles (two points per stream row); "
+            f"got tile={tile}, bwd_tile={bwd_tile}"
+        )
     if fwd_impl == "auto":
         # measured at the bench workload (BENCHMARKS.md): the packed VMEM
         # jet forward beats the XLA stream forward (3.7 vs 5.3 ms) but the
-        # unpacked one loses (6.5 ms) — take the kernel only when packed
-        fwd_impl = "pallas2" if lane_pack == 2 else "xla"
+        # unpacked one loses (6.5 ms) — take the kernel only when packed.
+        # The packed forward's 16-lane output layout puts point b's value
+        # at lane 8, so point a's jet (lanes 0..d+1) must fit in 8 lanes:
+        # d <= 6 (beyond that the streams collide silently — ADVICE r2)
+        fwd_impl = "pallas2" if (lane_pack == 2 and d_in + 2 <= 8) else "xla"
+    if fwd_impl.startswith("pallas2") and lane_pack == 2 and d_in + 2 > 8:
+        raise ValueError(
+            f"fwd_impl='pallas2' with lane_pack=2 supports input dim <= 6 "
+            f"(16-lane packed output layout), got d={d_in}; use fwd_impl="
+            f"'xla' or lane_pack=1"
+        )
     out = _fwdlap_core(Ws + bs, X, activation, tile, bwd_tile, interpret,
                        fwd_impl, concat_streams, dot_dtype, lane_pack)
     d = X.shape[1]

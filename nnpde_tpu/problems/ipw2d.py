@@ -63,6 +63,14 @@ class IPW2DConfig:
     # step instead of the fixed meshgrid (removes the fixed-grid weak-form
     # quadrature bias; the Poisson WAN does this, Poisson_ND.py:244-253)
     wan_resample: bool = False
+    # WAN only: per-eval deterministic whole-grid jitter (Cranley–Patterson
+    # shift of a cell-centered lattice: X = (idx + s) * L/n, s ~ U[0,1)^2
+    # per loss evaluation).  An unbiased estimator of the weak-form
+    # integrals WITHOUT the per-point sampling noise that makes
+    # ``wan_resample`` fail (3.7e-2, docs/WAN_FLOOR.md) — the n^2-point
+    # lattice mean has O(h^2) shift-to-shift variation vs O(1/sqrt(N))
+    # for iid uniform points.
+    grid_jitter: bool = False
     # WAN only: saddle-point update rule (train/trainer.py fit_wan) —
     # alternating GDA (the reference protocol), extragradient, or optimistic
     minimax: str = "alternating"
@@ -286,9 +294,23 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             wv_multi, dwv_multi = bump_w_multi(X, centers, hw)  # (K,N),(K,N,2)
         else:
             wv_const, dwv_const = bump_w(X, 0.0, L)
+        if cfg.grid_jitter:
+            # cell-centered lattice base (points strictly inside (0, L)):
+            # X_lat + s*h with s ~ U[0,1)^2 is the Cranley–Patterson shifted
+            # lattice rule — E_s[mean f(X)] = (1/L^2) int f exactly
+            h_cell = L / cfg.grid_n
+            g_lat = jnp.arange(cfg.grid_n, dtype=X.dtype) * h_cell
+            Xl, Yl = jnp.meshgrid(g_lat, g_lat, indexing="ij")
+            X_lat = jnp.stack([Xl.reshape(-1), Yl.reshape(-1)], -1)
 
         def wan_pde(u_params, v_params, key=None):
-            if cfg.wan_resample and key is not None:
+            if cfg.grid_jitter and key is not None:
+                s = jax.random.uniform(key, (2,), X.dtype)
+                Xw = X_lat + s[None, :] * h_cell
+                wv_c, dwv_c = (None, None) if cfg.n_test_grid > 1 else (
+                    bump_w(Xw, 0.0, L)
+                )
+            elif cfg.wan_resample and key is not None:
                 import jax as _jax
 
                 Xw = _jax.random.uniform(key, X.shape, X.dtype, 0.0, L)
@@ -301,7 +323,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             u, gu = model.value_and_grad(u_params, Xw, impl=cfg.jet_impl)
             v, gv = v_model.value_and_grad(v_params, Xw, impl=cfg.jet_impl)
             if cfg.n_test_grid > 1:
-                if cfg.wan_resample and key is not None:
+                if (cfg.wan_resample or cfg.grid_jitter) and key is not None:
                     from ..ops import bump_w_multi
 
                     wv_m, dwv_m = bump_w_multi(Xw, centers, hw)
@@ -331,7 +353,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             loss_pde, u_w = wan_pde(u_params, v_params, key)
             # data/parity/symmetry/norm stay on the fixed grid
             u = (model.apply_batch(u_params, X)
-                 if cfg.wan_resample else u_w)
+                 if (cfg.wan_resample or cfg.grid_jitter) else u_w)
             terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
             terms.update(shared_terms(u_params, u))
             total = sum(w[k] * terms[k] for k in w)

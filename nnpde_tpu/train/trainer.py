@@ -243,7 +243,8 @@ def fit_wan(
                 # gradients at the current point -> lookahead (states frozen)
                 (_, _), gu1 = jax.value_and_grad(u_loss_fn, has_aux=True)(
                     u_params, v_params, uk)
-                gv1 = jax.grad(v_loss_fn)(v_params, u_params, vk)
+                last_v_loss, gv1 = jax.value_and_grad(v_loss_fn)(
+                    v_params, u_params, vk)
                 du, _ = u_optimizer.update(gu1, u_opt, u_params)
                 dv, _ = v_optimizer.update(gv1, v_opt, v_params)
                 u_bar = optax.apply_updates(u_params, du)
@@ -252,7 +253,6 @@ def fit_wan(
                 (loss, metrics), gu2 = jax.value_and_grad(
                     u_loss_fn, has_aux=True)(u_bar, v_bar, uk)
                 gv2 = jax.grad(v_loss_fn)(v_bar, u_bar, vk)
-                last_v_loss = v_loss_fn(v_params, u_params, vk)
                 du2, u_opt = u_optimizer.update(gu2, u_opt, u_params)
                 dv2, v_opt = v_optimizer.update(gv2, v_opt, v_params)
                 u_params = optax.apply_updates(u_params, du2)

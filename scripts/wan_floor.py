@@ -186,6 +186,33 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 300, "epochs": 45000,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round K (round 3): grid400@30k is under-converged (best_epoch
+    # 29978/30000, 1.515e-3) and grid300 gained from the 45k window
+    # (1.63e-3 -> 1.52e-3) — run the experiment the data points at.
+    "winner_grid400_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_grid500_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 500, "epochs": 45000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    # round K-jitter: per-epoch deterministic whole-grid sub-cell shift
+    # (Cranley–Patterson on the tensor grid): unbiased quadrature without
+    # the per-point stochastic noise that made wan_resample fail (3.7e-2).
+    "winner_jitter": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_jitter": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    "winner_grid300_jitter": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
+        "grid_jitter": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     "winner_grid300_data100": {
         "minimax": "extragradient", "v_lr": 4e-3,
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,

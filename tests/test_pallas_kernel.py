@@ -96,6 +96,60 @@ def test_lane_pack_matches_unpacked_vjp():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_auto_forward_falls_back_at_high_dim():
+    """d >= 7 must not silently select the 16-lane packed forward (its
+    layout holds only d+2 <= 8 jet lanes per point — ADVICE round 2): the
+    'auto' path has to stay accurate, and an explicit pallas2+pack request
+    must raise."""
+    d = 7
+    params = init_mlp(jax.random.PRNGKey(9), NetSpec((d, 64, 64, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(10), (64, d), minval=-1.0,
+                           maxval=1.0)
+    ref = mlp_fwdlap(params, X, "sin")
+    ker = mlp_fwdlap_pallas(params, X, "sin", tile=32, bwd_tile=32,
+                            fwd_impl="auto")
+    np.testing.assert_allclose(np.asarray(ker.lap), np.asarray(ref.lap),
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="input dim"):
+        mlp_fwdlap_pallas(params, X, "sin", tile=32, bwd_tile=32,
+                          fwd_impl="pallas2", lane_pack=2)
+
+
+def test_lane_pack_odd_tile_raises():
+    d = 2
+    params = init_mlp(jax.random.PRNGKey(11), NetSpec((d, 32, 32, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(12), (62, d))
+    with pytest.raises(ValueError, match="even tiles"):
+        mlp_fwdlap_pallas(params, X, "sin", tile=31, bwd_tile=31, lane_pack=2)
+
+
+def test_kernel_width128_matches_xla_vjp():
+    """Width-128 nets on the (unpacked) kernel path: primal + cotangents
+    must match the XLA oracle (the round-3 w128 perf lever rides this)."""
+    d = 2
+    params = init_mlp(jax.random.PRNGKey(13), NetSpec((d, 128, 128, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(14), (96, d), minval=-1.0,
+                           maxval=1.0)
+
+    def loss(p, impl):
+        if impl == "xla":
+            jet = mlp_fwdlap(p, X, "sin")
+        else:
+            jet = mlp_fwdlap_pallas(p, X, "sin", tile=32, bwd_tile=32,
+                                    fwd_impl=impl, lane_pack=1)
+        return jnp.mean(jet.lap**2) + jnp.mean(jet.value**2)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    for impl in ("xla+pallas-bwd", "pallas2"):
+        fwd = "xla" if impl.startswith("xla") else impl
+        g_ker = jax.grad(lambda p: loss(p, fwd))(params)
+        for (W1, b1), (W2, b2) in zip(g_ref, g_ker):
+            np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                       rtol=2e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                                       rtol=2e-3, atol=1e-4)
+
+
 def test_poisson_trains_with_pallas_jet_impl():
     """jet_impl='pallas' (lane-packed kernels, interpret mode on CPU) must
     train the 1D Poisson PINN to the same ballpark as the XLA path."""
