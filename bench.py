@@ -8,32 +8,70 @@ TPU-saturating collocation batch, as a jitted 100-step scan (one dispatch).
 Prints ONE JSON line:
   {"metric": ..., "value": pts/s/chip, "unit": ..., "vs_baseline": ...}
 
-vs_baseline is relative to an estimated 1e7 residual-point evals/s for the
-reference PyTorch loop on one A100 (unfused d+1 autograd passes over a tiny
-MLP are dispatch-bound; the reference publishes no numbers — BASELINE.md).
+Anchors (both emitted; the reference publishes no numbers, BASELINE.md):
+  * ``vs_baseline`` / ``vs_baseline_estimated_a100`` — against an assumed
+    1e7 pts/s for the reference loop on one A100 (deliberately generous:
+    the loop is dispatch-bound — d+1 autograd graphs per step).
+  * ``vs_baseline_measured_cpu`` — against the same-host CPU-PyTorch
+    measurement committed at artifacts/anchor_cpu_torch.json
+    (reproduce: python scripts/bench_anchor_torch.py).
+
+``--all-devices``: shard the batch over every visible device with a 1D
+jax.sharding mesh (psum-mean loss => identical math to single-chip) and
+report aggregate and per-chip throughput.  On the single-chip CI/TPU
+environment this is a no-op mesh of 1; on a pod slice it produces the
+multi-chip row TODO.md §3 calls for.  Validate without hardware via
+  python bench.py --all-devices --cpu-mesh 8 --batch 4096 --steps 20
+(the env pins the TPU platform before __main__, so JAX_PLATFORMS=cpu is
+ignored — --cpu-mesh forces it in-process).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 A100_PYTORCH_BASELINE_PTS_PER_SEC = 1.0e7
+_ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "anchor_cpu_torch.json")
 
 
-def main():
+def measured_cpu_anchor():
+    try:
+        return float(json.load(open(_ANCHOR_FILE))["pts_per_sec"])
+    except Exception:
+        return None
+
+
+def main(all_devices: bool = False, batch: int | None = None,
+         steps: int | None = None, cpu_mesh: int = 0):
     from nnpde_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
 
     import jax
+
+    if cpu_mesh:
+        # the environment pins the TPU platform before __main__ runs, so a
+        # JAX_PLATFORMS=cpu env var is ignored — force CPU in-process (the
+        # same mechanism as tests/conftest.py) for hardware-free validation
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={cpu_mesh}"
+        )
+        jax.config.update("jax_platforms", "cpu")
     import optax
 
     from nnpde_tpu.losses import pinn_poisson
     from nnpde_tpu.models import NetSpec, SolutionModel, factor_for_technique
     from nnpde_tpu.pde import poisson as phys
 
-    L, d, N, STEPS = 2.0, 2, 262144, 100
+    n_dev = len(jax.devices()) if all_devices else 1
+    L, d = 2.0, 2
+    N = (batch or 262144) * n_dev
+    STEPS = steps or 100
     model = SolutionModel(
         NetSpec((d, 64, 64, 64, 64, 1), activation="sin"),
         factor_for_technique("FBC", dim=d, kind="box", L=L),
@@ -49,12 +87,28 @@ def main():
 
     impl = "pallas" if pallas_available() else "xla"
 
+    if all_devices:
+        from nnpde_tpu.parallel.mesh import (
+            data_sharding, make_mesh, replicate, shard_batch,
+        )
+
+        mesh = make_mesh()
+        X = shard_batch(X, mesh)
+        f = shard_batch(f, mesh)
+        params = replicate(params, mesh)
+        shard = data_sharding(mesh)
+        n_dev = mesh.devices.size
+    else:
+        mesh = shard = None
+
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
 
             def loss_fn(p):
                 jet = model.fields(p, X, impl=impl)
+                # with X batch-sharded, XLA partitions the residual eval
+                # per device and all-reduces the mean — same math as one chip
                 return pinn_poisson(jet.lap, f)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -73,20 +127,38 @@ def main():
     carry, losses = jax.block_until_ready(scan(carry, STEPS))
     dt = time.time() - t0
 
-    pts_per_sec = N * STEPS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "collocation pts/sec/chip (residual eval)",
-                "value": round(pts_per_sec, 1),
-                "unit": "pts/s/chip",
-                "vs_baseline": round(
-                    pts_per_sec / A100_PYTORCH_BASELINE_PTS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    agg = N * STEPS / dt
+    pts_per_sec = agg / n_dev
+    cpu_anchor = measured_cpu_anchor()
+    row = {
+        "metric": "collocation pts/sec/chip (residual eval)",
+        "value": round(pts_per_sec, 1),
+        "unit": "pts/s/chip",
+        "vs_baseline": round(pts_per_sec / A100_PYTORCH_BASELINE_PTS_PER_SEC, 2),
+        "vs_baseline_estimated_a100": round(
+            pts_per_sec / A100_PYTORCH_BASELINE_PTS_PER_SEC, 2
+        ),
+    }
+    if cpu_anchor:
+        row["vs_baseline_measured_cpu"] = round(pts_per_sec / cpu_anchor, 1)
+    if all_devices:
+        row["n_devices"] = n_dev
+        row["aggregate_pts_per_sec"] = round(agg, 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all-devices", action="store_true",
+                    help="shard the batch over every visible device")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-device batch (default 262144; shrink for "
+                         "CPU-mesh validation runs)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="steps per timed scan (default 100)")
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="validation mode: force an N-device virtual CPU "
+                         "mesh instead of the real backend")
+    a = ap.parse_args()
+    main(all_devices=a.all_devices, batch=a.batch, steps=a.steps,
+         cpu_mesh=a.cpu_mesh)
