@@ -49,21 +49,24 @@ class SolutionModel:
         return u
 
     # ----------------------------------------------------------------- jets
-    def fields(self, params, X, impl: str = "xla") -> Jet:
+    def fields(self, params, X, impl: str = "xla", **kernel_opts) -> Jet:
         """Fused (u, grad u, lap u) over the collocation batch (hot path).
 
         ``impl``: 'xla' (default — stream propagation fused by XLA) or
         'pallas' (the VMEM-resident kernel with recompute backward,
         :mod:`nnpde_tpu.kernels`; numerically equivalent, interpreter mode
-        off-TPU).
+        off-TPU).  ``kernel_opts`` pass through to
+        :func:`~nnpde_tpu.kernels.mlp_fwdlap_pallas` (tile, bwd_tile,
+        fwd_impl, dot_dtype, lane_pack — perf tuning knobs).
         """
         if impl == "pallas":
             from ..kernels import mlp_fwdlap_pallas
 
             # 'auto' forward: packed VMEM jet kernel at width <= 64, XLA
             # stream forward otherwise (measured crossover, BENCHMARKS.md)
+            kernel_opts.setdefault("fwd_impl", "auto")
             jet = mlp_fwdlap_pallas(params, X, self.spec.activation,
-                                    fwd_impl="auto")
+                                    **kernel_opts)
         else:
             jet = mlp_fwdlap(params, X, self.spec.activation)
         if self.factor is not None:

@@ -131,13 +131,6 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
         raise ValueError(
             "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
         )
-    if cfg.compute_dtype != "float32" and cfg.method == "WAN":
-        raise ValueError(
-            "reduced-precision compute for the 2D-well WAN is not supported "
-            "(the weak-form minimax is accuracy-floor-limited, not "
-            "bandwidth-limited — use problems/poisson.py WAN for the bf16 "
-            "path)"
-        )
     # Mosaic compile-time cliff (see problems/poisson.py): cap the epoch-
     # scan length on the pallas jet path — chunk<=500 compiles in seconds,
     # chunk=1000 took >9 min on the remote TPU compile service.
@@ -213,15 +206,29 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
     X_px = jnp.stack([L - X[:, 0], X[:, 1]], 1)
     X_py = jnp.stack([X[:, 0], L - X[:, 1]], 1)
 
-    def shared_terms(params, u):
+    def shared_terms(params, u, dtype="float32"):
+        if dtype == "bfloat16":
+            # cast the full-grid reflection forwards (the expensive ones);
+            # reductions and the small data term stay f32
+            p_c = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params
+            )
+
+            def fwd(Xa):
+                return model.apply_batch(
+                    p_c, Xa.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+        else:
+            def fwd(Xa):
+                return model.apply_batch(params, Xa)
         return {
             "data": data_mse(model.apply_batch(params, X_data), u_data),
-            "symmetry": reflection_mse(u, model.apply_batch(params, X_swap))
+            "symmetry": reflection_mse(u, fwd(X_swap))
             if nx == ny
             else jnp.asarray(0.0),
             "parity": (
-                reflection_mse(u, model.apply_batch(params, X_px), sign_x)
-                + reflection_mse(u, model.apply_batch(params, X_py), sign_y)
+                reflection_mse(u, fwd(X_px), sign_x)
+                + reflection_mse(u, fwd(X_py), sign_y)
             ),
             "orth": orthogonal_projection(u, lower, L * L)
             if w["orth"] > 0
@@ -303,7 +310,22 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             Xl, Yl = jnp.meshgrid(g_lat, g_lat, indexing="ij")
             X_lat = jnp.stack([Xl.reshape(-1), Yl.reshape(-1)], -1)
 
-        def wan_pde(u_params, v_params, key=None):
+        def net_vg(m, p, Xw, dtype):
+            """Net value+grad at the compute dtype (reductions stay f32).
+
+            bf16 rides the XLA stream path (the Pallas kernels are f32-in;
+            same convention as make_loss_terms above)."""
+            if dtype == "bfloat16":
+                p_c = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), p
+                )
+                u, g = m.value_and_grad(
+                    p_c, Xw.astype(jnp.bfloat16), impl="xla"
+                )
+                return u.astype(jnp.float32), g.astype(jnp.float32)
+            return m.value_and_grad(p, Xw, impl=cfg.jet_impl)
+
+        def wan_pde(u_params, v_params, key=None, dtype="float32"):
             if cfg.grid_jitter and key is not None:
                 s = jax.random.uniform(key, (2,), X.dtype)
                 Xw = X_lat + s[None, :] * h_cell
@@ -320,8 +342,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                 wv_c, dwv_c = (None, None) if cfg.n_test_grid > 1 else (
                     wv_const, dwv_const
                 )
-            u, gu = model.value_and_grad(u_params, Xw, impl=cfg.jet_impl)
-            v, gv = v_model.value_and_grad(v_params, Xw, impl=cfg.jet_impl)
+            u, gu = net_vg(model, u_params, Xw, dtype)
+            v, gv = net_vg(v_model, v_params, Xw, dtype)
             if cfg.n_test_grid > 1:
                 if (cfg.wan_resample or cfg.grid_jitter) and key is not None:
                     from ..ops import bump_w_multi
@@ -345,19 +367,36 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
             return wan_pde_loss(weak, jnp.mean(phi**2)), u
 
-        def v_loss_fn(v_params, u_params, key):
-            loss_pde, _ = wan_pde(u_params, v_params, key)
-            return -jnp.log(loss_pde + 1e-8)
+        def make_wan_losses(dtype):
+            def v_loss_fn(v_params, u_params, key):
+                loss_pde, _ = wan_pde(u_params, v_params, key, dtype)
+                return -jnp.log(loss_pde + 1e-8)
 
-        def u_loss_fn(u_params, v_params, key):
-            loss_pde, u_w = wan_pde(u_params, v_params, key)
-            # data/parity/symmetry/norm stay on the fixed grid
-            u = (model.apply_batch(u_params, X)
-                 if (cfg.wan_resample or cfg.grid_jitter) else u_w)
-            terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
-            terms.update(shared_terms(u_params, u))
-            total = sum(w[k] * terms[k] for k in w)
-            return total, terms
+            def u_loss_fn(u_params, v_params, key):
+                loss_pde, u_w = wan_pde(u_params, v_params, key, dtype)
+                # data/parity/symmetry/norm stay on the fixed grid
+                if cfg.wan_resample or cfg.grid_jitter:
+                    if dtype == "bfloat16":
+                        p_c = jax.tree_util.tree_map(
+                            lambda x: x.astype(jnp.bfloat16), u_params
+                        )
+                        u = model.apply_batch(
+                            p_c, X.astype(jnp.bfloat16)
+                        ).astype(jnp.float32)
+                    else:
+                        u = model.apply_batch(u_params, X)
+                else:
+                    u = u_w
+                terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
+                terms.update(shared_terms(u_params, u, dtype))
+                total = sum(w[k] * terms[k] for k in w)
+                return total, terms
+
+            return u_loss_fn, v_loss_fn
+
+        u_loss_fn, v_loss_fn = make_wan_losses(
+            "float32" if cfg.compute_dtype == "hybrid" else cfg.compute_dtype
+        )
 
         u_opt, v_opt = make_wan_optimizers(
             cfg.lr, v_lr=cfg.v_lr, schedule=cfg.lr_schedule,
@@ -365,13 +404,39 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             decay_steps=cfg.lr_decay_steps,
             final_scale=cfg.lr_final_scale,
         )
-        result = fit_wan(
-            u_loss_fn, v_loss_fn, eval_fn, params, v_params,
-            epochs=cfg.epochs, v_steps=cfg.v_steps,
-            u_optimizer=u_opt, v_optimizer=v_opt,
-            key=jax.random.fold_in(key, 1), chunk=min(chunk, 500),
-            minimax=cfg.minimax, u_ema=cfg.u_ema,
+        wan_kw = dict(
+            v_steps=cfg.v_steps, u_optimizer=u_opt, v_optimizer=v_opt,
+            chunk=min(chunk, 500), minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
+        if cfg.compute_dtype == "hybrid":
+            import numpy as _np
+
+            # bf16 compute for the bulk of the minimax, f32 tail from the
+            # FULL carry (both optimizer states, best iterate, EMA, OGDA
+            # grads ride across the precision switch) — the same protocol
+            # as the PINN/DRM hybrid below (VERDICT r2 #7: measure, don't
+            # refuse)
+            bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
+            u16, v16 = make_wan_losses("bfloat16")
+            r1 = fit_wan(
+                u16, v16, eval_fn, params, v_params, epochs=bulk,
+                key=jax.random.fold_in(key, 1), **wan_kw,
+            )
+            result = fit_wan(
+                u_loss_fn, v_loss_fn, eval_fn, params, v_params,
+                epochs=cfg.epochs - bulk,
+                key=jax.random.fold_in(key, 1), start_epoch=bulk,
+                init_carry=r1.carry, **wan_kw,
+            )
+            hist = {k: _np.concatenate([r1.history[k], result.history[k]])
+                    for k in result.history}
+            result = result._replace(history=hist)
+        else:
+            result = fit_wan(
+                u_loss_fn, v_loss_fn, eval_fn, params, v_params,
+                epochs=cfg.epochs,
+                key=jax.random.fold_in(key, 1), **wan_kw,
+            )
     else:
         optimizer = make_optimizer(
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,

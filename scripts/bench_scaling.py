@@ -26,7 +26,9 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "bench_scaling.json")
 
 
-def measure(width: int, n: int = 262144, steps: int = 100, depth: int = 5):
+def measure(width: int, n: int = 262144, steps: int = 100, depth: int = 5,
+            impl: str | None = None, kernel_opts: dict | None = None,
+            tag: str | None = None):
     import jax
     import optax
 
@@ -44,15 +46,18 @@ def measure(width: int, n: int = 262144, steps: int = 100, depth: int = 5):
     X = jax.random.uniform(jax.random.PRNGKey(1), (n, d), maxval=L)
     f = phys.rhs_f_for_u_sin(X, L, [1, 1])
     opt = optax.adam(1e-3)
-    # the lane-packed kernel only covers widths <= 64 (pack=2); wider
-    # layers go through the XLA jet path, which tiles onto the MXU
-    impl = "pallas" if (pallas_available() and width <= 64) else "xla"
+    if impl is None:
+        # round-2 default: the kernel path at any width (the round-3 w128
+        # measurement showed the unpacked kernel also wins — see
+        # BENCHMARKS.md width table); 'xla' only off-TPU
+        impl = "pallas" if pallas_available() else "xla"
+    kernel_opts = kernel_opts or {}
 
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
             def loss_fn(p):
-                jet = model.fields(p, X, impl=impl)
+                jet = model.fields(p, X, impl=impl, **kernel_opts)
                 return pinn_poisson(jet.lap, f)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -66,17 +71,47 @@ def measure(width: int, n: int = 262144, steps: int = 100, depth: int = 5):
     t0 = time.time()
     carry, _ = jax.block_until_ready(scan(carry))
     dt = time.time() - t0
-    return {"width": width, "depth": depth, "batch": n, "impl": impl,
+    return {"width": width, "depth": depth, "batch": n,
+            "impl": tag or impl, "kernel_opts": kernel_opts,
             "pts_per_sec": round(n * steps / dt, 1),
             "ms_per_step": round(1e3 * dt / steps, 3)}
 
 
+# named variants: WIDTH:VARIANT on the CLI (e.g. 128:bwd256)
+VARIANTS = {
+    "xla": dict(impl="xla"),
+    "pallas": dict(impl="pallas"),
+    "bwd256": dict(impl="pallas", kernel_opts={"bwd_tile": 256}),
+    "bwd128": dict(impl="pallas", kernel_opts={"bwd_tile": 128}),
+    "bwd1024": dict(impl="pallas", kernel_opts={"bwd_tile": 1024}),
+    "fwdpallas": dict(impl="pallas", kernel_opts={"fwd_impl": "pallas2"}),
+    "fwdpallas_bwd256": dict(impl="pallas",
+                             kernel_opts={"fwd_impl": "pallas2",
+                                          "bwd_tile": 256}),
+    # 1-pass bf16 dots in the forward kernel (lap rel-err ~2e-3) — the
+    # bulk phase of the hybrid protocol (VERDICT r2 #3)
+    "bf16fwd": dict(impl="pallas",
+                    kernel_opts={"fwd_impl": "pallas2:default"}),
+    "bf16full": dict(impl="pallas",
+                     kernel_opts={"fwd_impl": "pallas2:default",
+                                  "dot_dtype": "bfloat16"}),
+}
+
+
 if __name__ == "__main__":
-    widths = [int(a) for a in sys.argv[1:]] or [64, 128, 256]
+    args = sys.argv[1:] or ["64", "128", "256"]
     rows = json.load(open(OUT)) if os.path.exists(OUT) else []
-    for w in widths:
-        row = measure(w)
-        rows = [r for r in rows if r.get("width") != w]
+    for a in args:
+        if ":" in a:
+            w_s, v = a.split(":", 1)
+            row = measure(int(w_s), tag=v, **VARIANTS[v])
+            key = f"{w_s}:{v}"
+        else:
+            row = measure(int(a))
+            key = a
+        rows = [r for r in rows
+                if f"{r.get('width')}:{r.get('impl')}" != f"{row['width']}:{row['impl']}"
+                and not (str(r.get('width')) == key and ":" not in key)]
         rows.append(row)
         print(json.dumps(row), flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

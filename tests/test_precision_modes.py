@@ -93,3 +93,18 @@ def test_hybrid_carries_optimizer_state():
     np.testing.assert_allclose(
         np.asarray(r2.params["w"]), np.asarray(full.params["w"]), rtol=1e-6
     )
+
+
+def test_ipw2d_wan_hybrid_trains():
+    """The 2D-well WAN accepts bf16/hybrid compute (VERDICT r2 #7 replaced
+    the former ValueError with a measured A/B; this guards the plumbing —
+    full carry across the precision switch, concatenated history)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    for dt in ("bfloat16", "hybrid"):
+        out = train_ipw_2d(IPW2DConfig(
+            nx=1, ny=1, method="WAN", technique="FN", epochs=20, grid_n=24,
+            compute_dtype=dt, chunk=10, minimax="extragradient", v_lr=4e-3,
+        ))
+        assert len(out["history"]["l2"]) == 20
+        assert np.all(np.isfinite(out["history"]["l2"]))
