@@ -286,8 +286,54 @@ def run_poisson_5d_drm_rqmc(epochs=20000):
     return out
 
 
+def check_qho2d_trainE_ledger():
+    """Machine-checkable closure of the trainable-E characterization
+    (VERDICT r2 'weak' #6): assert dE(PINN-FBC) <= 1e-4 at all six
+    quantum-number pairs from the committed 50k-epoch sweep ledger —
+    acceptance rows should assert, not refer to docs.  The PINN-FN drift
+    is the characterized structural trial-space bias (docs/QHO2D_ENERGY.md);
+    its wavefunction accuracy is asserted instead."""
+    import math
+
+    ledger = os.path.join(os.path.dirname(OUT), "artifacts",
+                          "QHO_2D_Energy_50k", "results_QHO_2D.json")
+    rows = json.load(open(ledger))
+    omega = math.sqrt(2.0)
+    fbc, fn_mse = [], []
+    for r in rows:
+        if r.get("method") != "PINN" or "learned_energy" not in r:
+            continue
+        nx, ny = r["n"]
+        dE = abs(r["learned_energy"] - (nx + ny + 1) * omega)
+        if r["technique"] == "FBC":
+            fbc.append((tuple(r["n"]), dE))
+        elif r["technique"] == "FN":
+            fn_mse.append((tuple(r["n"]), r["L2_error"], dE))
+    assert len(fbc) >= 6, f"expected 6 FBC pairs, found {len(fbc)}"
+    record("qho2d_trainE_fbc_dE", {
+        "max_dE": max(d for _, d in fbc),
+        "pairs": sorted(str(p) for p, _ in fbc),
+        "source": "artifacts/QHO_2D_Energy_50k/results_QHO_2D.json",
+        "target": "dE <= 1e-4 at all 6 (nx,ny) pairs, PINN-FBC trainable E",
+        "pass": all(d <= 1e-4 for _, d in fbc),
+    })
+    record("qho2d_trainE_fn_characterized_bias", {
+        "max_best_mse": max(m for _, m, _ in fn_mse),
+        "max_dE": max(d for _, _, d in fn_mse),
+        "source": "artifacts/QHO_2D_Energy_50k/results_QHO_2D.json",
+        "target": "best MSE <= 2e-3 AND dE <= 0.25 — the FN forced-node "
+                  "trial space biases the trainable E (lr-independent, "
+                  "docs/QHO2D_ENERGY.md) while the wavefunction stays "
+                  "accurate; exact-E protocol = the FBC row above",
+        "pass": (all(m <= 2e-3 for _, m, _ in fn_mse)
+                 and all(d <= 0.25 for _, _, d in fn_mse)),
+    })
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "qho2d-ledger"):
+        check_qho2d_trainE_ledger()
     if which in ("all", "r2-rqmc"):
         run_poisson_5d_drm_rqmc()
     if which in ("all", "poisson"):
