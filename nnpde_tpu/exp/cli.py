@@ -68,10 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                                              "exponential"],
                    default="constant")
     p.add_argument("--compute-dtype",
-                   choices=["float32", "bfloat16", "hybrid"],
+                   choices=["float32", "bfloat16", "hybrid",
+                            "hybrid-kernel"],
                    default="float32",
                    help="hybrid = bf16 bulk + f32 tail (bf16 speed, f32 "
-                        "final accuracy; optimizer state carries across)")
+                        "final accuracy; optimizer state carries across); "
+                        "hybrid-kernel = f32 streams with the Pallas "
+                        "kernel's 1-pass-bf16 dot mode as the bulk "
+                        "(PINN + --jet-impl pallas)")
     p.add_argument("--norm-mode", choices=["nontrivial", "l2"],
                    default="nontrivial")
     p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",

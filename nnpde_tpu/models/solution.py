@@ -81,7 +81,7 @@ class SolutionModel:
         )(X)
         return Jet(value=u, grad=g, lap=l)
 
-    def value_and_grad(self, params, X, impl: str = "xla"):
+    def value_and_grad(self, params, X, impl: str = "xla", **kernel_opts):
         """(u, grad u) without the Laplacian (DRM / WAN paths).
 
         ``impl='pallas'`` rides the lane-packed jet kernel and discards the
@@ -89,7 +89,7 @@ class SolutionModel:
         d=2) against the kernel's ~2.4x win over the XLA path, so still a
         large net speedup for DRM/WAN training on TPU."""
         if impl == "pallas":
-            jet = self.fields(params, X, impl="pallas")
+            jet = self.fields(params, X, impl="pallas", **kernel_opts)
             return jet.value, jet.grad
         u, g = calculus.batched_value_and_grad_x(
             lambda x: self.apply_point(params, x)

@@ -213,6 +213,16 @@ VARIANTS = {
         "grid_jitter": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round K-hybrid: A/B reduced precision at the winner config instead
+    # of refusing it (VERDICT r2 #7) — bf16 bulk + f32 tail across the
+    # full minimax carry.  If accuracy holds, the most expensive runs in
+    # the repo get ~1.8x cheaper, which buys longer decay windows.
+    "winner_grid300_hybrid": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
+        "compute_dtype": "hybrid",
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     "winner_grid300_data100": {
         "minimax": "extragradient", "v_lr": 4e-3,
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
