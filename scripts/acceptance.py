@@ -150,13 +150,12 @@ def run_qho1d_wan_trainE(n, epochs=30000):
     return out
 
 
-def run_ipw2d_n33_wan_best(epochs=30000):
-    """The 2D-well WAN north-star config at the round-2 floor-attack
-    winner settings (docs/WAN_FLOOR.md): extragradient pair updates,
+def run_ipw2d_n33_wan_best(epochs=45000):
+    """The 2D-well WAN north-star config at the round-3 winner settings
+    (docs/WAN_FLOOR.md rounds A-K): extragradient pair updates,
     two-timescale 4x critic lr, wide critic, parity/symmetry 1000,
-    norm 1e4, 30k cosine.  The 1e-3 target is still open — this row
-    records the framework's best measured configuration honestly
-    (round-1 floor 1.1e-2 -> ~2e-3)."""
+    norm 1e4, 400^2 grid, 45k cosine — **rel-L2 9.61e-4, target met**
+    (round-1 floor 1.1e-2, round-2 1.52e-3)."""
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
     t0 = time.time()
@@ -169,8 +168,9 @@ def run_ipw2d_n33_wan_best(epochs=30000):
     record("ipw2d_n33_wan_fn_minimax_best", {
         "rel_l2": out["rel_l2"], "best_epoch": out["min_epoch"],
         "epochs": epochs,
-        "config": "EG + v_lr 4e-3 + wide critic + ps1000 + norm1e4 + grid400",
-        "round1_floor": 1.11e-2,
+        "config": ("EG + v_lr 4e-3 + wide critic + ps1000 + norm1e4 "
+                   "+ grid400 + 45k cosine"),
+        "round1_floor": 1.11e-2, "round2_best": 1.52e-3,
         "elapsed_s": round(time.time() - t0, 1),
         "target": "rel_l2 <= 1e-3 (north star)",
         "pass": out["rel_l2"] <= 1e-3,

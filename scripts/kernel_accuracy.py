@@ -1,0 +1,75 @@
+"""Jet accuracy A/B: Pallas kernel variants vs the f32 XLA oracle, on TPU.
+
+Reports max/mean relative error of (value, grad, lap) for each kernel
+configuration at a given width — the acceptance gate for new kernel paths
+(w64 packed gate was lap rel-err <= 1e-5; same bar for w128, VERDICT r2
+item #2).  Writes artifacts/kernel_accuracy.json.
+
+Usage: python scripts/kernel_accuracy.py [width ...]   (default 64 128)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from nnpde_tpu.kernels import mlp_fwdlap_pallas
+from nnpde_tpu.models import NetSpec, init_mlp
+from nnpde_tpu.ops.fwdlap import mlp_fwdlap
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "kernel_accuracy.json")
+
+VARIANTS = {
+    "pallas_auto": {},
+    "pallas2": {"fwd_impl": "pallas2"},
+    "pallas2_default": {"fwd_impl": "pallas2:default"},
+    "bwd256": {"bwd_tile": 256},
+}
+
+
+def rel(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+
+
+def run(width: int, d: int = 2, depth: int = 5, n: int = 8192):
+    spec = NetSpec((d,) + (width,) * (depth - 1) + (1,), activation="sin")
+    params = init_mlp(jax.random.PRNGKey(0), spec)
+    X = jax.random.uniform(jax.random.PRNGKey(1), (n, d), maxval=2.0)
+    with jax.default_matmul_precision("highest"):
+        ref = jax.jit(lambda p: mlp_fwdlap(p, X, "sin"))(params)
+    rows = []
+    for name, opts in VARIANTS.items():
+        if width > 64 and name == "pallas_auto":
+            opts = {}  # auto at w>64 = unpacked, xla fwd (still the bwd A/B)
+        try:
+            ker = jax.jit(lambda p: mlp_fwdlap_pallas(
+                p, X, "sin", **opts))(params)
+            row = {"width": width, "variant": name,
+                   "value_rel": rel(ker.value, ref.value),
+                   "grad_rel": rel(ker.grad, ref.grad),
+                   "lap_rel": rel(ker.lap, ref.lap)}
+        except Exception as e:  # record compile/VMEM failures, don't die
+            row = {"width": width, "variant": name, "error": str(e)[:200]}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    widths = [int(a) for a in sys.argv[1:]] or [64, 128]
+    all_rows = json.load(open(OUT)) if os.path.exists(OUT) else []
+    for w in widths:
+        new = run(w)
+        keys = {(r["width"], r["variant"]) for r in new}
+        all_rows = [r for r in all_rows
+                    if (r.get("width"), r.get("variant")) not in keys]
+        all_rows += new
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    json.dump(all_rows, open(OUT, "w"), indent=2)
