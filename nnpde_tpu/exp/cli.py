@@ -122,12 +122,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--v-steps", type=int, default=5)
     p.add_argument("--n-test-grid", type=int, default=1,
                    help="k>1: multi-test-function WAN with a k x k bump grid")
+    p.add_argument("--grid-jitter", action="store_true",
+                   help="WAN: per-eval Cranley-Patterson whole-grid shift "
+                        "(unbiased weak-form quadrature, no per-point noise)")
     p.add_argument("--lr-schedule", choices=["constant", "cosine",
                                              "exponential"],
                    default="constant")
     p.add_argument("--compute-dtype",
                    choices=["float32", "bfloat16", "hybrid"],
-                   default="float32")
+                   default="float32",
+                   help="WAN too as of round 3 (bf16 minimax bulk + f32 "
+                        "tail, full carry across the switch)")
     p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",
                    help="pallas = lane-packed VMEM kernels (TPU)")
     p.add_argument("--minimax",
@@ -299,6 +304,7 @@ def _dispatch(args) -> int:
                           technique=args.technique, grid_n=args.grid_n,
                           v_layers=tuple(args.v_layers), v_steps=args.v_steps,
                           n_test_grid=args.n_test_grid,
+                          grid_jitter=args.grid_jitter,
                           lr_schedule=args.lr_schedule,
                           compute_dtype=args.compute_dtype,
                           jet_impl=args.jet_impl, minimax=args.minimax,

@@ -698,7 +698,7 @@ def mlp_fwdlap_pallas(
     activation: str,
     *,
     tile: int = 1024,
-    bwd_tile: int = 512,
+    bwd_tile: int | None = None,
     interpret: bool | None = None,
     fwd_impl: str = "xla",
     concat_streams: bool = True,
@@ -726,6 +726,12 @@ def mlp_fwdlap_pallas(
     Ws = tuple(W for W, _ in params)
     bs = tuple(b.reshape(1, -1) for _, b in params)
     d_in = X.shape[1]
+    if bwd_tile is None:
+        # auto: the recompute backward holds ~3(2d+7) (T, w) f32 streams in
+        # VMEM (~16 MB/core) — T=512 fits at width <= 64 (packed: 128
+        # lanes), wider nets halve the tile (measured w128: bwd 256 ≈ 512
+        # in speed, 1024 OOMs scoped vmem; BENCHMARKS.md width table)
+        bwd_tile = 512 if all(W.shape[1] <= 64 for W in Ws[:-1]) else 256
     if lane_pack is None:
         # auto: pack two points per 128-lane vreg when every hidden width
         # fits in half a vreg (measured: the kernel is VPU-bound at 64
@@ -741,18 +747,19 @@ def mlp_fwdlap_pallas(
             f"got tile={tile}, bwd_tile={bwd_tile}"
         )
     if fwd_impl == "auto":
-        # measured at the bench workload (BENCHMARKS.md): the packed VMEM
-        # jet forward beats the XLA stream forward (3.7 vs 5.3 ms) but the
-        # unpacked one loses (6.5 ms) — take the kernel only when packed.
-        # The packed forward's 16-lane output layout puts point b's value
-        # at lane 8, so point a's jet (lanes 0..d+1) must fit in 8 lanes:
-        # d <= 6 (beyond that the streams collide silently — ADVICE r2)
-        fwd_impl = "pallas2" if (lane_pack == 2 and d_in + 2 <= 8) else "xla"
-    if fwd_impl.startswith("pallas2") and lane_pack == 2 and d_in + 2 > 8:
+        # measured at the bench workload (BENCHMARKS.md): the VMEM jet
+        # forward beats the XLA stream forward whenever the jet fits its
+        # 8-lane-per-point output layout (d + 2 <= 8) — packed at w <= 64
+        # (3.7 vs 5.3 ms) and unpacked at w = 128 (19.4M vs 12.4M pts/s
+        # full step).  At w <= 64 the UNPACKED kernel loses (6.5 ms), but
+        # lane_pack is already 2 there unless the caller forced it off.
+        # d >= 7 jets don't fit a single vreg row — XLA stream forward
+        # (the d >= 7 packed-collision fix, ADVICE r2).
+        fwd_impl = "pallas2" if d_in + 2 <= 8 else "xla"
+    if fwd_impl.startswith("pallas2") and d_in + 2 > 8:
         raise ValueError(
-            f"fwd_impl='pallas2' with lane_pack=2 supports input dim <= 6 "
-            f"(16-lane packed output layout), got d={d_in}; use fwd_impl="
-            f"'xla' or lane_pack=1"
+            f"fwd_impl='pallas2' supports input dim <= 6 (8 output lanes "
+            f"per point), got d={d_in}; use fwd_impl='xla'"
         )
     out = _fwdlap_core(Ws + bs, X, activation, tile, bwd_tile, interpret,
                        fwd_impl, concat_streams, dot_dtype, lane_pack)

@@ -62,8 +62,10 @@ class SolutionModel:
         if impl == "pallas":
             from ..kernels import mlp_fwdlap_pallas
 
-            # 'auto' forward: packed VMEM jet kernel at width <= 64, XLA
-            # stream forward otherwise (measured crossover, BENCHMARKS.md)
+            # 'auto' forward: VMEM jet kernel whenever the per-point jet
+            # fits 8 output lanes (d <= 6) — packed at width <= 64,
+            # unpacked above; XLA stream forward at d >= 7 (measured
+            # crossovers, BENCHMARKS.md width table)
             kernel_opts.setdefault("fwd_impl", "auto")
             jet = mlp_fwdlap_pallas(params, X, self.spec.activation,
                                     **kernel_opts)

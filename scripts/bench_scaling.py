@@ -88,6 +88,16 @@ VARIANTS = {
     "fwdpallas_bwd256": dict(impl="pallas",
                              kernel_opts={"fwd_impl": "pallas2",
                                           "bwd_tile": 256}),
+    "fb256_t512": dict(impl="pallas",
+                       kernel_opts={"fwd_impl": "pallas2", "bwd_tile": 256,
+                                    "tile": 512}),
+    "fb256_t2048": dict(impl="pallas",
+                        kernel_opts={"fwd_impl": "pallas2", "bwd_tile": 256,
+                                     "tile": 2048}),
+    "fb256_bf16dots": dict(impl="pallas",
+                           kernel_opts={"fwd_impl": "pallas2",
+                                        "bwd_tile": 256,
+                                        "dot_dtype": "bfloat16"}),
     # 1-pass bf16 dots in the forward kernel (lap rel-err ~2e-3) — the
     # bulk phase of the hybrid protocol (VERDICT r2 #3)
     "bf16fwd": dict(impl="pallas",

@@ -27,10 +27,10 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "kernel_accuracy.json")
 
 VARIANTS = {
-    "pallas_auto": {},
+    "pallas_auto": {"fwd_impl": "auto"},
     "pallas2": {"fwd_impl": "pallas2"},
     "pallas2_default": {"fwd_impl": "pallas2:default"},
-    "bwd256": {"bwd_tile": 256},
+    "xla_fwd": {"fwd_impl": "xla"},
 }
 
 
@@ -46,11 +46,13 @@ def run(width: int, d: int = 2, depth: int = 5, n: int = 8192):
         ref = jax.jit(lambda p: mlp_fwdlap(p, X, "sin"))(params)
     rows = []
     for name, opts in VARIANTS.items():
-        if width > 64 and name == "pallas_auto":
-            opts = {}  # auto at w>64 = unpacked, xla fwd (still the bwd A/B)
         try:
-            ker = jax.jit(lambda p: mlp_fwdlap_pallas(
-                p, X, "sin", **opts))(params)
+            # pin highest matmul precision like the trainer does — the
+            # XLA-forward variants otherwise run at the TPU's default
+            # bf16-ish precision and the A/B reads ~5e-3 spuriously
+            with jax.default_matmul_precision("highest"):
+                ker = jax.jit(lambda p: mlp_fwdlap_pallas(
+                    p, X, "sin", **opts))(params)
             row = {"width": width, "variant": name,
                    "value_rel": rel(ker.value, ref.value),
                    "grad_rel": rel(ker.grad, ref.grad),
