@@ -46,7 +46,8 @@ def measured_cpu_anchor():
 
 
 def main(all_devices: bool = False, batch: int | None = None,
-         steps: int | None = None, cpu_mesh: int = 0):
+         steps: int | None = None, cpu_mesh: int = 0,
+         kernel_mode: str = "exact"):
     from nnpde_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
@@ -86,6 +87,14 @@ def main(all_devices: bool = False, batch: int | None = None,
     from nnpde_tpu.kernels import pallas_available
 
     impl = "pallas" if pallas_available() else "xla"
+    # --kernel-mode bf16: the 1-pass-bf16 jet kernel (fwd lap rel-err
+    # ~2e-3 vs the exact bf16x3 default at 4.8e-6) — the bulk phase of
+    # compute_dtype='hybrid-kernel' training (BENCHMARKS.md); reported
+    # as a second bench line, never the headline
+    kernel_opts = (
+        {"fwd_impl": "pallas2:default", "dot_dtype": "bfloat16"}
+        if kernel_mode == "bf16" and impl == "pallas" else {}
+    )
 
     if all_devices:
         from nnpde_tpu.parallel.mesh import (
@@ -106,7 +115,7 @@ def main(all_devices: bool = False, batch: int | None = None,
         with jax.default_matmul_precision("highest"):
 
             def loss_fn(p):
-                jet = model.fields(p, X, impl=impl)
+                jet = model.fields(p, X, impl=impl, **kernel_opts)
                 # with X batch-sharded, XLA partitions the residual eval
                 # per device and all-reduces the mean — same math as one chip
                 return pinn_poisson(jet.lap, f)
@@ -144,6 +153,8 @@ def main(all_devices: bool = False, batch: int | None = None,
     if all_devices:
         row["n_devices"] = n_dev
         row["aggregate_pts_per_sec"] = round(agg, 1)
+    if kernel_mode != "exact":
+        row["kernel_mode"] = kernel_mode
     print(json.dumps(row))
 
 
@@ -159,6 +170,11 @@ if __name__ == "__main__":
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="validation mode: force an N-device virtual CPU "
                          "mesh instead of the real backend")
+    ap.add_argument("--kernel-mode", choices=["exact", "bf16"],
+                    default="exact",
+                    help="bf16 = the 1-pass-bf16 jet kernel (the "
+                         "'hybrid-kernel' bulk phase) as a second bench "
+                         "line; default exact bf16x3 (f32-class)")
     a = ap.parse_args()
     main(all_devices=a.all_devices, batch=a.batch, steps=a.steps,
-         cpu_mesh=a.cpu_mesh)
+         cpu_mesh=a.cpu_mesh, kernel_mode=a.kernel_mode)

@@ -415,7 +415,10 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             # FULL carry (both optimizer states, best iterate, EMA, OGDA
             # grads ride across the precision switch) — the same protocol
             # as the PINN/DRM hybrid below (VERDICT r2 #7: measure, don't
-            # refuse)
+            # refuse).  Measured verdict at the winner config
+            # (grid300/30k): 7.90e-3 vs 1.63e-3 f32 — the adversarial
+            # dynamics are precision-sensitive, so f32 stays the WAN
+            # default (docs/WAN_FLOOR.md round L).
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
             u16, v16 = make_wan_losses("bfloat16")
             r1 = fit_wan(

@@ -213,6 +213,14 @@ VARIANTS = {
         "grid_jitter": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round L: jitter pays at grid300 (1.632e-3 -> 1.467e-3 @30k) —
+    # compose it with the round-K winner (grid400 + 45k window)
+    "winner_grid400_jitter_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "grid_jitter": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-hybrid: A/B reduced precision at the winner config instead
     # of refusing it (VERDICT r2 #7) — bf16 bulk + f32 tail across the
     # full minimax carry.  If accuracy holds, the most expensive runs in
