@@ -150,6 +150,30 @@ def test_kernel_width128_matches_xla_vjp():
                                        rtol=2e-3, atol=1e-4)
 
 
+def test_auto_defaults_width128():
+    """Round-3 defaults: ``bwd_tile=None`` auto-sizes by width and
+    ``fwd_impl='auto'`` takes the unpacked VMEM jet forward at w128
+    (d + 2 <= 8) — the 20.1M pts/s path (BENCHMARKS.md width table) must
+    match the XLA oracle through the *default* knob settings."""
+    d = 2
+    params = init_mlp(jax.random.PRNGKey(15), NetSpec((d, 128, 128, 1), "sin"))
+    X = jax.random.uniform(jax.random.PRNGKey(16), (80, d), minval=-1.0,
+                           maxval=1.0)
+    ref = mlp_fwdlap(params, X, "sin")
+    ker = mlp_fwdlap_pallas(params, X, "sin", tile=64)  # bwd_tile/fwd auto
+    np.testing.assert_allclose(np.asarray(ker.value), np.asarray(ref.value),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.lap), np.asarray(ref.lap),
+                               atol=1e-3)
+    g_ref = jax.grad(lambda p: jnp.mean(mlp_fwdlap(p, X, "sin").lap ** 2))(
+        params)
+    g_ker = jax.grad(lambda p: jnp.mean(
+        mlp_fwdlap_pallas(p, X, "sin", tile=64).lap ** 2))(params)
+    for (W1, b1), (W2, b2) in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_poisson_trains_with_pallas_jet_impl():
     """jet_impl='pallas' (lane-packed kernels, interpret mode on CPU) must
     train the 1D Poisson PINN to the same ballpark as the XLA path."""
