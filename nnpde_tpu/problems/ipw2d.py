@@ -39,6 +39,7 @@ from ..ops import bump_w
 from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
+from .. import runtime
 from ..train import fit, fit_wan, lbfgs_polish, make_optimizer, make_wan_optimizers
 
 
@@ -131,10 +132,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
         raise ValueError(
             "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
         )
-    # Mosaic compile-time cliff (see problems/poisson.py): cap the epoch-
-    # scan length on the pallas jet path — chunk<=500 compiles in seconds,
-    # chunk=1000 took >9 min on the remote TPU compile service.
-    chunk = min(cfg.chunk, 500) if cfg.jet_impl == "pallas" else cfg.chunk
+    # Epoch-scan length cap (see runtime.pallas_chunk_cap(): the round-3
+    # ladder found no cliff on either step shape, so the default cap of
+    # 1000 is uncapped in practice; NNPDE_PALLAS_CHUNK_CAP overrides).
+    cap = runtime.pallas_chunk_cap()
+    chunk = min(cfg.chunk, cap) if cfg.jet_impl == "pallas" else cfg.chunk
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -406,7 +408,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
         )
         wan_kw = dict(
             v_steps=cfg.v_steps, u_optimizer=u_opt, v_optimizer=v_opt,
-            chunk=min(chunk, 500), minimax=cfg.minimax, u_ema=cfg.u_ema,
+            chunk=min(chunk, cap), minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
         if cfg.compute_dtype == "hybrid":
             import numpy as _np

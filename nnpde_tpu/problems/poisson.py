@@ -34,6 +34,7 @@ from ..losses import (
 from ..models import NetSpec, SolutionModel, factor_for_technique
 from ..ops import bump_w
 from ..pde import poisson as phys
+from .. import runtime
 from ..pde.domain import Box
 from ..sampling import face_points, uniform_box
 from ..train import fit, fit_wan, make_optimizer
@@ -168,11 +169,12 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         )
     if cfg.jet_impl not in ("xla", "pallas"):
         raise ValueError("jet_impl must be 'xla' or 'pallas'")
-    # Mosaic compile-time cliff: a lax.scan of >~500 steps whose body
-    # carries the Pallas jet custom-calls compiles in seconds at chunk<=500
-    # but >9 min at chunk=1000 on the remote TPU compile service (TODO #6
-    # measurement, round 2) — cap the epoch-scan length on the pallas path.
-    chunk = min(cfg.chunk, 500) if cfg.jet_impl == "pallas" else cfg.chunk
+    # Epoch-scan length cap on the pallas jet path.  The round-3 compile-time
+    # ladder (artifacts/compile_cliff.json) found NO cliff on this step
+    # (3.4-3.9 s flat for chunk 125..1000), so the default cap is 1000
+    # (uncapped in practice) — see runtime.pallas_chunk_cap().
+    cap = runtime.pallas_chunk_cap()
+    chunk = min(cfg.chunk, cap) if cfg.jet_impl == "pallas" else cfg.chunk
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":
@@ -413,7 +415,7 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         )
         wan_kw = dict(
             v_steps=cfg.critic_steps, u_optimizer=optimizer,
-            v_optimizer=v_optimizer, key=k_train, chunk=min(chunk, 500),
+            v_optimizer=v_optimizer, key=k_train, chunk=min(chunk, cap),
             minimax=cfg.minimax, u_ema=cfg.u_ema,
         )
         if cfg.compute_dtype == "hybrid":

@@ -32,6 +32,30 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+_DEFAULT_PALLAS_CHUNK_CAP = 1000
+
+
+def pallas_chunk_cap() -> int:
+    """Epoch-scan length cap applied on the Pallas jet path.
+
+    Round 2 observed a >9-min compile at chunk=1000 on the remote TPU
+    compile service once and capped the scan at 500.  The round-3
+    measurement (``scripts/bench_compile_cliff.py`` ->
+    ``artifacts/compile_cliff.json``) could NOT reproduce a cliff on either
+    step shape: the Poisson PINN step compiles flat at 3.4-3.9 s (pallas) /
+    5.7-6.5 s (xla) for chunk in 125..1000, and the WAN extragradient step
+    (the biggest scan body in the repo: critic fori_loop + double jet
+    evaluation) compiles+runs 1000 epochs in 42 s total.  The round-2
+    observation is best explained as a silent tunnel hang (a known failure
+    mode of the remote compile service) misread as compile time.  Default
+    cap is therefore 1000 — every shipped config's chunk, i.e. uncapped in
+    practice; override with ``NNPDE_PALLAS_CHUNK_CAP`` (0 = no cap) if a
+    genuine cliff ever reappears.
+    """
+    cap = int(os.environ.get("NNPDE_PALLAS_CHUNK_CAP", _DEFAULT_PALLAS_CHUNK_CAP))
+    return cap if cap > 0 else 1 << 30
+
+
 def enable_debug_nans(on: bool = True) -> None:
     """Opt-in NaN trapping (the reference's nearest analogue is scattered
     eps/nan_to_num guards — SURVEY.md §5 'race detection / sanitizers')."""

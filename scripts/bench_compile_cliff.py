@@ -78,11 +78,48 @@ def measure(chunk: int, impl: str = "pallas"):
             "first_run_s": round(t_run, 2)}
 
 
+def measure_wan(chunk: int):
+    """WAN-shaped probe: the ipw2d extragradient minimax step (critic
+    fori_loop + EG double evaluation — the biggest scan body in the repo)
+    at the requested chunk length.  Wall time on a tiny grid is compile-
+    dominated, so total elapsed bounds the compile cost; a cliff would show
+    as minutes, flat behavior as tens of seconds."""
+    os.environ["NNPDE_PALLAS_CHUNK_CAP"] = str(chunk)
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    # unique grid_n per chunk so the compile cache can't serve another row
+    cfg = IPW2DConfig(
+        nx=3, ny=3, method="WAN", technique="FN", epochs=chunk, chunk=chunk,
+        grid_n=40 + (chunk // 125) % 16, jet_impl="pallas",
+        minimax="extragradient", v_lr=4e-3,
+        v_layers=(2, 100, 100, 100, 1),
+        weights={"parity": 1e3, "symmetry": 1e3, "norm": 1e4},
+    )
+    t0 = time.time()
+    res = train_ipw_2d(cfg)
+    wall = time.time() - t0
+    return {"chunk": chunk, "impl": "wan-eg-pallas", "batch": cfg.grid_n**2,
+            "wall_s": round(wall, 2), "rel_l2": res["rel_l2"]}
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     impl = "pallas"
     if args and args[0] == "--xla":
         impl, args = "xla", args[1:]
+    elif args and args[0] == "--wan":
+        args = args[1:]
+        chunks = [int(a) for a in args] or [500, 1000]
+        rows = json.load(open(OUT)) if os.path.exists(OUT) else []
+        for c in chunks:
+            row = measure_wan(c)
+            rows = [r for r in rows
+                    if (r.get("chunk"), r.get("impl")) != (c, row["impl"])]
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            os.makedirs(os.path.dirname(OUT), exist_ok=True)
+            json.dump(rows, open(OUT, "w"), indent=2)
+        sys.exit(0)
     chunks = [int(a) for a in args] or [125, 250, 500, 750, 1000]
     rows = json.load(open(OUT)) if os.path.exists(OUT) else []
     for c in chunks:
