@@ -697,7 +697,7 @@ def mlp_fwdlap_pallas(
     X,
     activation: str,
     *,
-    tile: int = 1024,
+    tile: int | None = None,
     bwd_tile: int | None = None,
     interpret: bool | None = None,
     fwd_impl: str = "xla",
@@ -726,6 +726,12 @@ def mlp_fwdlap_pallas(
     Ws = tuple(W for W, _ in params)
     bs = tuple(b.reshape(1, -1) for _, b in params)
     d_in = X.shape[1]
+    if tile is None:
+        # auto: the VMEM jet forward's scoped allocation scales with
+        # tile x width — tile=1024 OOMs the 16 MB scope at w=256
+        # (measured: 16.55M requested; f32[w,tile,8] jet stack + streams),
+        # so halve the forward tile for widths above 128
+        tile = 1024 if all(W.shape[1] <= 128 for W in Ws[:-1]) else 512
     if bwd_tile is None:
         # auto: the recompute backward holds ~3(2d+7) (T, w) f32 streams in
         # VMEM (~16 MB/core) — T=512 fits at width <= 64 (packed: 128

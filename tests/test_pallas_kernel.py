@@ -150,13 +150,15 @@ def test_kernel_width128_matches_xla_vjp():
                                        rtol=2e-3, atol=1e-4)
 
 
-def test_auto_defaults_width128():
+@pytest.mark.parametrize("width", [128, 256])
+def test_auto_defaults_wide(width):
     """Round-3 defaults: ``bwd_tile=None`` auto-sizes by width and
-    ``fwd_impl='auto'`` takes the unpacked VMEM jet forward at w128
-    (d + 2 <= 8) — the 20.1M pts/s path (BENCHMARKS.md width table) must
-    match the XLA oracle through the *default* knob settings."""
+    ``fwd_impl='auto'`` takes the unpacked VMEM jet forward at any width
+    with d + 2 <= 8 — the 20.1M (w128) / w256 paths (BENCHMARKS.md width
+    table) must match the XLA oracle through the *default* knob settings."""
     d = 2
-    params = init_mlp(jax.random.PRNGKey(15), NetSpec((d, 128, 128, 1), "sin"))
+    params = init_mlp(jax.random.PRNGKey(15),
+                      NetSpec((d, width, width, 1), "sin"))
     X = jax.random.uniform(jax.random.PRNGKey(16), (80, d), minval=-1.0,
                            maxval=1.0)
     ref = mlp_fwdlap(params, X, "sin")
