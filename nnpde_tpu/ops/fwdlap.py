@@ -97,6 +97,56 @@ def mlp_fwdlap(params, X, activation: str) -> Jet:
     return Jet(value=v[..., 0], grad=J[..., 0], lap=l[..., 0])
 
 
+class ChannelJet(NamedTuple):
+    """Batched second-order jet of a C-channel vector field."""
+
+    value: jnp.ndarray  # (N, C)
+    grad: jnp.ndarray   # (N, d, C)
+    lap: jnp.ndarray    # (N, C)
+
+
+def mlp_fwdlap_channels(params, X, activation: str) -> ChannelJet:
+    """Exact per-channel (u, grad u, lap u) of a C-output MLP.
+
+    Identical stream recurrence to :func:`mlp_fwdlap` — the output layer is
+    just another linear map, so all C channels ride the same (N, w) value /
+    (N, d, w) Jacobian / (N, w) Laplacian streams and one final matmul
+    fans them out.  Used by coupled-system problems (e.g. the KH Floquet
+    harmonics, ``problems/kh_floquet.py``) where one network parameterises
+    2M+1 coupled component fields."""
+    s, s1, s2 = activation_jet(activation)
+    N, d = X.shape
+
+    W0, b0 = params[0]
+    v = X @ W0 + b0
+    J = jnp.broadcast_to(W0[None, :, :], (N, d, W0.shape[1]))
+    l = jnp.zeros_like(v)
+
+    for (W, b) in params[1:]:
+        s1v = s1(v)
+        l = s1v * l + s2(v) * jnp.sum(J * J, axis=1)
+        J = s1v[:, None, :] * J
+        v = s(v)
+        Jf = J.reshape(N * d, -1)
+        J = (Jf @ W).reshape(N, d, W.shape[1])
+        v = v @ W + b
+        l = l @ W
+
+    return ChannelJet(value=v, grad=J, lap=l)
+
+
+def compose_product_jet_channels(a: ChannelJet, f: Jet) -> ChannelJet:
+    """Jet of ``a * f`` where the scalar trial factor f multiplies every
+    channel:  (af, a∇f + f∇a, aΔf + 2∇a·∇f + fΔa)  per channel."""
+    value = a.value * f.value[:, None]
+    grad = (a.value[:, None, :] * f.grad[:, :, None]
+            + f.value[:, None, None] * a.grad)
+    lap = (a.value * f.lap[:, None]
+           + 2.0 * jnp.einsum("ndc,nd->nc", a.grad, f.grad)
+           + f.value[:, None] * a.lap)
+    return ChannelJet(value=value, grad=grad, lap=lap)
+
+
 def compose_product_jet(a: Jet, b: Jet) -> Jet:
     """Jet of the product ``a * b``:  (ab, a∇b + b∇a, aΔb + 2∇a·∇b + bΔa)."""
     value = a.value * b.value

@@ -116,6 +116,148 @@ def reference_eigensystem(
     return x, evals[:k_max], psi
 
 
+def v_fourier_components(x, alpha0: float, v0: float = V0_DEFAULT,
+                         j_max: int = 4, n_theta: int = 512):
+    """Fourier components of the oscillating potential in the laser phase.
+
+    ``c_j(x) = (1/2pi) \\int_0^{2pi} V(x + alpha0 sin th) e^{-i j th} dth``
+    for ``j = 0..j_max``, evaluated on a **uniform periodic** theta grid
+    (trapezoid on a periodic integrand = spectrally accurate, unlike the
+    endpoint-inclusive grid of :func:`v_kh_avg` which mirrors the
+    reference's KH_1D.py:35 for value parity).
+
+    Symmetries (used by callers): ``c_{-j} = conj(c_j)`` (real V) and
+    ``c_j = (-1)^j conj(c_j)`` (th -> pi - th leaves sin th invariant), so
+    even-j components are real and odd-j purely imaginary.  ``c_0`` is the
+    cycle-averaged KH potential — the existing :func:`v_kh_avg` physics is
+    exactly the j = 0 term.
+
+    Returns ``(cr, ci)`` float64 arrays of shape ``(j_max + 1, len(x))``.
+    """
+    x = np.asarray(x, np.float64)
+    theta = 2.0 * math.pi * np.arange(n_theta) / n_theta
+    f = np.asarray(v_base(x[:, None] + alpha0 * np.sin(theta)[None, :], v0),
+                   np.float64)                                 # (Nx, n_theta)
+    j = np.arange(j_max + 1)
+    ph = np.exp(-1j * j[:, None] * theta[None, :])             # (J+1, n_theta)
+    c = (ph @ f.T) / n_theta                                   # (J+1, Nx)
+    return np.real(c), np.imag(c)
+
+
+def floquet_eigensystem(
+    L: float = 60.0,
+    N: int = 2000,
+    alpha: float = 10.0,
+    omega: float = 5.0,
+    M: int = 2,
+    k_max: int = 4,
+    v0: float = V0_DEFAULT,
+    n_theta: int = 512,
+    sigma: float | None = None,
+):
+    """FD Floquet quasi-energy eigensystem of the *time-dependent* KH atom.
+
+    The reference solves only the cycle-averaged (infinite-frequency)
+    approximation ``Vbar`` (KH_1D.py:32-39).  This solves the full
+    time-periodic problem ``i dpsi/dt = (-1/2 d2x + V(x + alpha sin wt)) psi``
+    via Floquet theory: ``psi = e^{-i eps t} phi(x, t)`` with ``phi``
+    t-periodic, expanded in harmonics ``phi = sum_m phi_m(x) e^{i m w t}``,
+    truncated to ``|m| <= M``.  The quasi-energy eigenproblem is
+
+        ``-1/2 phi_m'' + sum_k c_{m-k}(x) phi_k + m w phi_m = eps phi_m``
+
+    — a complex-Hermitian block system (kinetic tridiagonal per harmonic
+    block, potential dense across harmonics, diagonal in x), solved with
+    shift-invert ``scipy.sparse.linalg.eigsh`` near the cycle-averaged
+    ground energy (quasi-energies are defined mod w; the shift picks the
+    physical branch continuously connected to the M = 0 / averaged limit,
+    which IS :func:`reference_eigensystem`).
+
+    Returns ``(x (N,), eps (k,), Phi (N, 2M+1, k) complex128)`` with
+    ``sum_m int |phi_m|^2 dx = 1`` (trapezoid) and the global U(1) phase
+    fixed so the dominant harmonic's peak is real-positive.
+    """
+    x = np.linspace(-L, L, N, dtype=np.float64)
+    dx = (2.0 * L) / (N - 1)
+    x_int = x[1:-1]
+    Ni = N - 2
+    C = 2 * M + 1
+    cr, ci = v_fourier_components(x_int, alpha0=alpha, v0=v0,
+                                  j_max=max(1, 2 * M), n_theta=n_theta)
+
+    def c_j(j: int) -> np.ndarray:
+        """Complex component c_j for any signed j (c_{-j} = conj(c_j))."""
+        if abs(j) > cr.shape[0] - 1:
+            return np.zeros(Ni, np.complex128)
+        v = cr[abs(j)] + 1j * ci[abs(j)]
+        return v if j >= 0 else np.conj(v)
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    kin = sp.diags(
+        [np.full(Ni, 1.0 / dx**2), np.full(Ni - 1, -0.5 / dx**2),
+         np.full(Ni - 1, -0.5 / dx**2)],
+        [0, 1, -1], format="csr", dtype=np.complex128,
+    )
+    blocks = []
+    for a in range(C):
+        row = []
+        for b in range(C):
+            j = a - b                      # harmonic transfer m - k
+            blk = sp.diags(c_j(j), 0, shape=(Ni, Ni), dtype=np.complex128)
+            if a == b:
+                blk = blk + kin + sp.identity(Ni, np.complex128) * (
+                    (a - M) * omega)
+            row.append(blk)
+        blocks.append(row)
+    H = sp.bmat(blocks, format="csc")
+
+    # Branch selection.  The Floquet spectrum mod w is dense: every
+    # discretised-continuum state reappears shifted by j*w for every
+    # harmonic j, so shift-invert alone returns whatever replica happens to
+    # sit nearest the shift.  The physical branch (continuously connected
+    # to the M = 0 / cycle-averaged limit) is identified by overlap: among
+    # ``n_search`` eigenpairs near sigma, pick for each target level the
+    # state whose m = 0 harmonic has maximal |<psi_avg_n, phi_0>|.
+    _, E_avg, psi_avg = reference_eigensystem(
+        L=L, N=N, alpha=alpha, v0=v0, k_max=k_max, use_avg=True,
+        n_theta=n_theta)
+    if sigma is None:
+        sigma = float(E_avg[0]) - 0.05
+    n_search = min(H.shape[0] - 2, max(8 * k_max, 24))
+    evals, evecs = spla.eigsh(H, k=n_search, sigma=sigma, which="LM")
+
+    Phi_all = np.zeros((N, C, n_search), np.complex128)
+    Phi_all[1:-1, :, :] = evecs.reshape(C, Ni, n_search).transpose(1, 0, 2)
+    w = np.ones(N, np.float64)
+    w[0] = w[-1] = 0.5
+    nrm = np.sqrt(dx * np.einsum("x,xmk->k", w, np.abs(Phi_all) ** 2))
+    Phi_all = Phi_all / nrm[None, None, :]
+    # overlap of each candidate's m=0 harmonic with each averaged level
+    ov = np.abs(dx * np.einsum("x,xn,xk->nk", w, psi_avg[:, :k_max],
+                               Phi_all[:, M, :]))            # (k_max, n_search)
+    sel, used = [], set()
+    for nlev in range(k_max):
+        for cand in np.argsort(-ov[nlev]):
+            if cand not in used:
+                sel.append(cand)
+                used.add(cand)
+                break
+    sel = np.asarray(sel)
+    evals, Phi = evals[sel], Phi_all[:, :, sel]
+    w = np.ones(N, np.float64)
+    w[0] = w[-1] = 0.5
+    norms = np.sqrt(dx * np.einsum("x,xmk->k", w, np.abs(Phi) ** 2))
+    Phi = Phi / norms[None, None, :]
+    # U(1) phase gauge: rotate each state so its largest-|.| sample is
+    # real-positive (deterministic; eval metrics are phase-aware anyway)
+    flat = Phi.reshape(N * C, k_max)
+    peak = flat[np.argmax(np.abs(flat), axis=0), np.arange(k_max)]
+    Phi = Phi * np.conj(peak / np.abs(peak))[None, None, :]
+    return x, evals, Phi
+
+
 class KHGroundTruth:
     """Dense-grid ground truth: x, V(x), eigenvalues E, eigenfunctions psi.
 
