@@ -227,6 +227,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-data-points", type=int, default=500)
     p.add_argument("--v-steps", type=int, default=3)
     _add_common(p, epochs=10000)
+
+    p = sub.add_parser(
+        "kh-floquet",
+        help="time-periodic KH atom (Floquet quasi-energy, beyond the "
+             "reference's cycle-averaged solver)",
+    )
+    p.add_argument("--alpha", type=float, default=2.0)
+    p.add_argument("--omega", type=float, default=0.3)
+    p.add_argument("--L", type=float, default=30.0)
+    p.add_argument("--M", type=int, default=2, help="harmonic truncation")
+    p.add_argument("--n", type=int, default=0, help="Floquet level")
+    p.add_argument("--n-ref", type=int, default=2000)
+    p.add_argument("--train-n", type=int, default=1024)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--technique", choices=["RAW", "FBC"], default="FBC")
+    _add_common(p, epochs=10000)
     return ap
 
 
@@ -387,6 +404,24 @@ def _dispatch(args) -> int:
             print(json.dumps({k: r[k] for k in
                               ("method", "n", "E_ref", "E_est",
                                "L2_error_dense", "elapsed_time_sec")}))
+        return 0
+    elif args.cmd == "kh-floquet":
+        from ..problems.kh_floquet import KHFloquetConfig, train_kh_floquet
+
+        cfg = KHFloquetConfig(
+            alpha=args.alpha, omega=args.omega, L=args.L, M=args.M,
+            n=args.n, n_ref=args.n_ref, train_n=args.train_n,
+            width=args.width, depth=args.depth, technique=args.technique,
+            epochs=args.epochs, lr=args.lr, seed=args.seed,
+            **({"chunk": args.chunk} if args.chunk else {}),
+        )
+        out = train_kh_floquet(cfg)
+        print(json.dumps({
+            "rel_l2": out["rel_l2"], "best_epoch": out["best_epoch"],
+            "eps_est": out["eps_est"], "eps_ref": out["eps_ref"],
+            "eps_avg": out["eps_avg"],
+            "harmonic_weights": out["harmonic_weights"],
+        }))
         return 0
     else:  # pragma: no cover
         raise SystemExit(2)

@@ -9,4 +9,4 @@ from .trial import (
     product1d,
     factor_for_technique,
 )
-from .solution import SolutionModel
+from .solution import ChannelSolutionModel, SolutionModel

@@ -90,5 +90,15 @@ def mlp_apply_batch(params, X, activation: str):
     return (h @ W + b)[..., 0]
 
 
+def mlp_apply_batch_channels(params, X, activation: str):
+    """Batched multi-output forward: X (N, d) -> (N, C)."""
+    act = _resolve_activation(activation)
+    h = X
+    for (W, b) in params[:-1]:
+        h = act(h @ W + b)
+    W, b = params[-1]
+    return h @ W + b
+
+
 def num_params(params) -> int:
     return sum(int(W.size + b.size) for (W, b) in params)

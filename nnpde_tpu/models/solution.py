@@ -14,8 +14,21 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..ops import calculus
-from ..ops.fwdlap import Jet, compose_product_jet, mlp_fwdlap
-from .mlp import NetSpec, init_mlp, mlp_apply_batch, mlp_apply_point
+from ..ops.fwdlap import (
+    ChannelJet,
+    Jet,
+    compose_product_jet,
+    compose_product_jet_channels,
+    mlp_fwdlap,
+    mlp_fwdlap_channels,
+)
+from .mlp import (
+    NetSpec,
+    init_mlp,
+    mlp_apply_batch,
+    mlp_apply_batch_channels,
+    mlp_apply_point,
+)
 from .trial import SeparableFactor
 
 
@@ -97,3 +110,69 @@ class SolutionModel:
             lambda x: self.apply_point(params, x)
         )(X)
         return u, g
+
+
+class ChannelSolutionModel:
+    """Coupled-system solution model: one MLP parameterises C component
+    fields sharing hidden streams (the output layer fans them out).
+
+    Same composition contract as :class:`SolutionModel` — an optional
+    scalar trial factor multiplies **every** channel and propagates
+    analytically through the jet — but value/grad/lap come back with a
+    trailing channel axis.  Used by the Floquet KH problem
+    (:mod:`nnpde_tpu.problems.kh_floquet`) where 2(2M+1) channels hold the
+    real/imag parts of the harmonic components; the reference solves only
+    the single-channel cycle-averaged limit (KH_1D.py:32-39)."""
+
+    def __init__(self, spec: NetSpec, factor: Optional[SeparableFactor] = None):
+        self.spec = spec
+        self.factor = factor
+        self.dim = spec.layers[0]
+        self.channels = spec.layers[-1]
+        if factor is not None and factor.dim != self.dim:
+            raise ValueError(
+                f"factor dim {factor.dim} != net input dim {self.dim}"
+            )
+
+    def init(self, key, dtype=jnp.float32):
+        return init_mlp(key, self.spec, dtype)
+
+    def apply_batch(self, params, X):
+        u = mlp_apply_batch_channels(params, X, self.spec.activation)
+        if self.factor is not None:
+            u = u * self.factor.value(X)[:, None]
+        return u
+
+    def fields(self, params, X) -> ChannelJet:
+        """Fused per-channel (u, grad u, lap u) over the batch."""
+        jet = mlp_fwdlap_channels(params, X, self.spec.activation)
+        if self.factor is not None:
+            jet = compose_product_jet_channels(jet, self.factor.jet(X))
+        return jet
+
+    def fields_generic(self, params, X) -> ChannelJet:
+        """Forward-over-reverse oracle for :meth:`fields`."""
+        import jax
+
+        def f(x):
+            u = calculus_point_channels(params, x, self.spec.activation)
+            if self.factor is not None:
+                u = u * self.factor.value_point(x)
+            return u
+
+        val = jax.vmap(f)(X)
+        grad = jax.vmap(jax.jacfwd(f))(X).transpose(0, 2, 1)
+        lap = jnp.trace(jax.vmap(jax.hessian(f))(X), axis1=2, axis2=3)
+        return ChannelJet(value=val, grad=grad, lap=lap)
+
+
+def calculus_point_channels(params, x, activation: str):
+    """Per-point multi-output forward: x (d,) -> (C,)."""
+    from .mlp import _resolve_activation
+
+    act = _resolve_activation(activation)
+    h = x
+    for (W, b) in params[:-1]:
+        h = act(h @ W + b)
+    W, b = params[-1]
+    return h @ W + b

@@ -258,6 +258,87 @@ def floquet_eigensystem(
     return x, evals, Phi
 
 
+class FloquetGroundTruth:
+    """Dense-grid Floquet ground truth: x, quasi-energies eps, harmonic
+    eigenfunctions Phi (N, 2M+1, k) complex, and the per-grid coupling
+    tables the neural residual needs.
+
+    ``coupling_matrices(x)`` returns float32 device arrays
+    ``(P, Q) : (len(x), C, C)`` with ``P[n,a,b] + i Q[n,a,b] =
+    c_{(a-M)-(b-M)}(x_n)`` — the harmonic-transfer block of the Floquet
+    operator, evaluated once per collocation grid and cached by the
+    caller (the reference re-runs its theta quadrature every loss call,
+    KH_1D.py:231; here even the *time-dependent* physics is a setup-time
+    constant)."""
+
+    def __init__(
+        self,
+        *,
+        alpha: float = 2.0,
+        omega: float = 0.3,
+        v0: float = V0_DEFAULT,
+        L: float = 30.0,
+        N: int = 2000,
+        M: int = 2,
+        n_levels: int = 2,
+        n_theta: int = 512,
+    ):
+        x, eps, Phi = floquet_eigensystem(
+            L=L, N=N, alpha=alpha, omega=omega, M=M,
+            k_max=max(n_levels, 1), v0=v0, n_theta=n_theta,
+        )
+        self.x = jnp.asarray(x, jnp.float32)
+        self.eps = jnp.asarray(eps[:n_levels], jnp.float32)
+        self.Phi_re = jnp.asarray(np.real(Phi[:, :, :n_levels]), jnp.float32)
+        self.Phi_im = jnp.asarray(np.imag(Phi[:, :, :n_levels]), jnp.float32)
+        self.alpha, self.omega, self.v0 = float(alpha), float(omega), float(v0)
+        self.L, self.N, self.M = float(L), int(N), int(M)
+        self.C = 2 * M + 1
+        self.n_levels, self.n_theta = int(n_levels), int(n_theta)
+
+    def energy(self, n: int) -> float:
+        return float(self.eps[n])
+
+    def coupling_matrices(self, x_new):
+        """(P, Q) float32 (len(x), C, C) harmonic-coupling tables at x."""
+        x_np = np.asarray(x_new, np.float64)
+        cr, ci = v_fourier_components(
+            x_np, alpha0=self.alpha, v0=self.v0, j_max=2 * self.M,
+            n_theta=self.n_theta,
+        )
+        C = self.C
+        P = np.zeros((len(x_np), C, C))
+        Q = np.zeros((len(x_np), C, C))
+        for a in range(C):
+            for b in range(C):
+                j = a - b
+                P[:, a, b] = cr[abs(j)]
+                Q[:, a, b] = ci[abs(j)] if j >= 0 else -ci[abs(j)]
+        return jnp.asarray(P, jnp.float32), jnp.asarray(Q, jnp.float32)
+
+    def resample(self, x_new):
+        """(Phi_re, Phi_im) (M_pts, C, n_levels) interpolated onto x_new."""
+        re = jnp.stack(
+            [
+                jnp.stack(
+                    [jnp.interp(x_new, self.x, self.Phi_re[:, m, k])
+                     for m in range(self.C)], axis=1)
+                for k in range(self.n_levels)
+            ],
+            axis=2,
+        )
+        im = jnp.stack(
+            [
+                jnp.stack(
+                    [jnp.interp(x_new, self.x, self.Phi_im[:, m, k])
+                     for m in range(self.C)], axis=1)
+                for k in range(self.n_levels)
+            ],
+            axis=2,
+        )
+        return re, im
+
+
 class KHGroundTruth:
     """Dense-grid ground truth: x, V(x), eigenvalues E, eigenfunctions psi.
 

@@ -1,1 +1,2 @@
+from .kh_floquet import KHFloquetConfig, train_kh_floquet
 from .poisson import PoissonConfig, train_poisson_nd

@@ -118,3 +118,54 @@ def test_floquet_sidebands_regime():
     assert sideband > 0.01                      # >1% weight off m = 0
     assert abs(eps[0] - E[0]) > 3e-4            # resolvable eps shift
     np.testing.assert_allclose(wts.sum(), 1.0, atol=1e-8)
+
+
+# ----------------------------------------------------------- solution model
+def test_channel_solution_model_fields_vs_generic():
+    from nnpde_tpu.models import ChannelSolutionModel
+
+    model = ChannelSolutionModel(
+        NetSpec((1, 16, 16, 6), activation="sin"),
+        factor_for_technique("FBC", dim=1, kind="window", L=3.0),
+    )
+    params = model.init(jax.random.PRNGKey(4))
+    X = jax.random.uniform(jax.random.PRNGKey(5), (11, 1), minval=-2.5, maxval=2.5)
+    jet = model.fields(params, X)
+    oracle = model.fields_generic(params, X)
+    np.testing.assert_allclose(jet.value, oracle.value, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(jet.grad, oracle.grad, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(jet.lap, oracle.lap, rtol=3e-3, atol=1e-4)
+    # apply_batch consistent with fields.value
+    np.testing.assert_allclose(
+        model.apply_batch(params, X), jet.value, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_channel_solution_model_dim_mismatch():
+    from nnpde_tpu.models import ChannelSolutionModel
+
+    with pytest.raises(ValueError):
+        ChannelSolutionModel(
+            NetSpec((2, 8, 4), activation="sin"),
+            factor_for_technique("FBC", dim=1, kind="window", L=1.0),
+        )
+
+
+# --------------------------------------------------------------- end-to-end
+def test_floquet_pinn_short_training_converges():
+    """Short-budget neural Floquet solve: the loss machinery must pull the
+    phase-aware error down ~two orders and keep the trainable quasi-energy
+    near the FD value (full-accuracy runs live in ACCEPTANCE.json)."""
+    from nnpde_tpu.problems import KHFloquetConfig, train_kh_floquet
+
+    cfg = KHFloquetConfig(
+        epochs=1200, chunk=400, train_n=384, n_ref=800, M=2, seed=0
+    )
+    out = train_kh_floquet(cfg)
+    h = out["history"]
+    assert float(h["l2"][-1]) < 0.05 * float(h["l2"][0])
+    assert out["rel_l2"] < 0.2
+    assert abs(out["eps_est"] - out["eps_ref"]) < 5e-3
+    w = np.asarray(out["harmonic_weights"])
+    assert w[cfg.M] > 0.5                        # m = 0 dominates
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
