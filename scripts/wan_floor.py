@@ -221,6 +221,15 @@ VARIANTS = {
         "grid_jitter": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round M: grid400+jitter crashes the TPU worker in this environment
+    # (4/4 repro, TODO.md Open #3) — compose jitter with the 45k window at
+    # the largest jitter-stable grid instead
+    "winner_grid300_jitter_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300, "epochs": 45000,
+        "grid_jitter": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-hybrid: A/B reduced precision at the winner config instead
     # of refusing it (VERDICT r2 #7) — bf16 bulk + f32 tail across the
     # full minimax carry.  If accuracy holds, the most expensive runs in
