@@ -243,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--technique", choices=["RAW", "FBC"], default="FBC")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine",
+                                             "exponential"],
+                   default="constant")
     _add_common(p, epochs=10000)
     return ap
 
@@ -412,6 +415,7 @@ def _dispatch(args) -> int:
             alpha=args.alpha, omega=args.omega, L=args.L, M=args.M,
             n=args.n, n_ref=args.n_ref, train_n=args.train_n,
             width=args.width, depth=args.depth, technique=args.technique,
+            lr_schedule=args.lr_schedule,
             epochs=args.epochs, lr=args.lr, seed=args.seed,
             **({"chunk": args.chunk} if args.chunk else {}),
         )

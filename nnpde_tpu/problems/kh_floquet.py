@@ -41,8 +41,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from ..models import ChannelSolutionModel, NetSpec, factor_for_technique
 from ..ops.quadrature import integral_mean
 from ..pde import kh as phys
@@ -63,6 +61,7 @@ class KHFloquetConfig:
     technique: str = "FBC"              # FBC window | RAW
     epochs: int = 10000
     lr: float = 1e-3
+    lr_schedule: str = "constant"       # constant | cosine | exponential
     # the KH compare weighting (KH_1D.py:295 train_state_v2 defaults as
     # instantiated by run_compare) transfers directly to the Floquet system
     lambda_pde: float = 10.0
@@ -195,9 +194,13 @@ def train_kh_floquet(cfg: KHFloquetConfig,
         a, b = split_ri(val)
         return phase_aware_mse(a, b, tgt_re, tgt_im)
 
+    from ..train.optim import make_optimizer
+
     result = fit(
         loss_fn, eval_fn, u_params,
-        epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
+        epochs=cfg.epochs,
+        optimizer=make_optimizer(cfg.lr, schedule=cfg.lr_schedule,
+                                 total_steps=cfg.epochs),
         key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
     )
 
