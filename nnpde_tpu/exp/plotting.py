@@ -203,6 +203,43 @@ def plot_2d_comparison(x, y, u_pred, u_exact, out_png: str,
     return out_png
 
 
+def plot_floquet_harmonics(x, phi_re, phi_im, gt_re, gt_im, M: int,
+                           eps_est: float, out_png: str,
+                           keep: float = 1e-4) -> str:
+    """Floquet-state overlay: neural |phi_m(x)| (lines) vs FD ground truth
+    (markers) per harmonic m, on a log scale so the sidebands are visible.
+    Harmonics with both neural and FD weight below ``keep`` are skipped.
+    (The reference has no analogue — it never solves the time-dependent
+    problem; cf. its single-state overlay KH_1D.py:459-481.)"""
+    rcParams.update(STYLE)
+    x = np.asarray(x)
+    amp = np.sqrt(np.asarray(phi_re) ** 2 + np.asarray(phi_im) ** 2)
+    amp_gt = np.sqrt(np.asarray(gt_re) ** 2 + np.asarray(gt_im) ** 2)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    colors = plt.cm.viridis(np.linspace(0.0, 0.85, amp.shape[1]))
+    stride = max(1, len(x) // 64)
+    for c in range(amp.shape[1]):
+        m = c - M
+        if amp[:, c].max() < keep and amp_gt[:, c].max() < keep:
+            continue
+        ax.semilogy(x, amp[:, c] + 1e-12, color=colors[c],
+                    label=f"$|\\phi_{{{m}}}|$ neural")
+        ax.semilogy(x[::stride], amp_gt[::stride, c] + 1e-12,
+                    color=colors[c], marker="o", linestyle="none",
+                    markersize=3, alpha=0.6)
+    ax.set_ylim(bottom=max(keep * 1e-2, 1e-7))
+    ax.set_xlabel("x (a.u.)")
+    ax.set_ylabel("$|\\phi_m(x)|$")
+    ax.set_title(f"Floquet harmonics: neural (lines) vs FD (dots) | "
+                 f"$\\varepsilon$~{eps_est:.6f}")
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    return out_png
+
+
 def plot_solution_gt(x, psi_ref, u_pred, v_x, e_est, method: str, n: int,
                      out_png: str) -> str:
     """KH overlay: FD reference, prediction, dressed potential
