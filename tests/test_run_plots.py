@@ -53,3 +53,22 @@ def test_profiler_trace_smoke(tmp_path):
     # a trace directory with at least one event file was produced
     files = [p for p in (tmp_path).rglob("*") if p.is_file()]
     assert files, "no profiler output written"
+
+
+def test_floquet_harmonics_plot(tmp_path):
+    import numpy as np
+
+    from nnpde_tpu.exp.plotting import plot_floquet_harmonics
+
+    x = np.linspace(-5, 5, 200)
+    C = 5
+    re = np.exp(-x[:, None] ** 2) * np.linspace(1.0, 0.01, C)[None, :]
+    im = 0.1 * re
+    png = plot_floquet_harmonics(
+        x, re, im, re * 1.01, im * 0.99, M=2, eps_est=-0.0123,
+        out_png=str(tmp_path / "floq.png"),
+    )
+    import os
+
+    assert os.path.exists(png)
+    assert os.path.getsize(png) > 20_000
