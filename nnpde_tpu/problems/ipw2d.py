@@ -122,10 +122,16 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
     return jnp.stack(cols, axis=1)
 
 
-def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict:
+def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
+                 compile_only: bool = False) -> Dict:
     """``init_params``/``init_v_params`` warm-start the nets (staged-
     annealing protocol for the WAN minimax: converge at one lr horizon,
-    restart the schedule from the best iterate at a lower lr)."""
+    restart the schedule from the best iterate at a lower lr).
+
+    ``compile_only``: lower+compile the training step and return its
+    memory-analysis dict instead of training (HBM-pressure probe; see
+    train/trainer.py:_compile_probe).  Hybrid configs probe the bulk
+    phase (the bigger program)."""
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
     if cfg.compute_dtype not in ("float32", "bfloat16", "hybrid"):
@@ -208,7 +214,21 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
     X_px = jnp.stack([L - X[:, 0], X[:, 1]], 1)
     X_py = jnp.stack([X[:, 0], L - X[:, 1]], 1)
 
-    def shared_terms(params, u, dtype="float32"):
+    def shared_terms(params, u, dtype="float32", Xq=None):
+        """``Xq``: the quadrature set ``u`` was evaluated at (None = the
+        fixed grid).  Under ``grid_jitter`` the jittered lattice is passed
+        so every integral term rides the SAME forward — reflections of a
+        Cranley–Patterson-shifted lattice are equally unbiased, and the
+        extra fixed-grid forward (the grid400 HBM-pressure suspect,
+        TODO Open #3) disappears."""
+        if Xq is None:
+            Xs, Xpx, Xpy, low = X_swap, X_px, X_py, lower
+        else:
+            Xs = Xq[:, ::-1]
+            Xpx = jnp.stack([L - Xq[:, 0], Xq[:, 1]], 1)
+            Xpy = jnp.stack([Xq[:, 0], L - Xq[:, 1]], 1)
+            low = (_lower_states_2d(nx, ny, Xq, L)
+                   if w["orth"] > 0 else lower)
         if dtype == "bfloat16":
             # cast the full-grid reflection forwards (the expensive ones);
             # reductions and the small data term stay f32
@@ -225,14 +245,14 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                 return model.apply_batch(params, Xa)
         return {
             "data": data_mse(model.apply_batch(params, X_data), u_data),
-            "symmetry": reflection_mse(u, fwd(X_swap))
+            "symmetry": reflection_mse(u, fwd(Xs))
             if nx == ny
             else jnp.asarray(0.0),
             "parity": (
-                reflection_mse(u, fwd(X_px), sign_x)
-                + reflection_mse(u, fwd(X_py), sign_y)
+                reflection_mse(u, fwd(Xpx), sign_x)
+                + reflection_mse(u, fwd(Xpy), sign_y)
             ),
-            "orth": orthogonal_projection(u, lower, L * L)
+            "orth": orthogonal_projection(u, low, L * L)
             if w["orth"] > 0
             else jnp.asarray(0.0),
             "bc": jnp.mean(model.apply_batch(params, X_bc) ** 2) * 4.0
@@ -363,21 +383,28 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                 )
                 weak_k = jnp.mean(integrand, axis=1)              # (K,)
                 norm_k = jnp.mean(phi**2, axis=1)                 # (K,)
-                return jnp.mean(weak_k**2 / (norm_k + 1e-8)), u
+                return jnp.mean(weak_k**2 / (norm_k + 1e-8)), u, Xw
             phi = wv_c * v
             gphi = dwv_c * v[:, None] + wv_c[:, None] * gv
             weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
-            return wan_pde_loss(weak, jnp.mean(phi**2)), u
+            return wan_pde_loss(weak, jnp.mean(phi**2)), u, Xw
 
         def make_wan_losses(dtype):
             def v_loss_fn(v_params, u_params, key):
-                loss_pde, _ = wan_pde(u_params, v_params, key, dtype)
+                loss_pde, _, _ = wan_pde(u_params, v_params, key, dtype)
                 return -jnp.log(loss_pde + 1e-8)
 
             def u_loss_fn(u_params, v_params, key):
-                loss_pde, u_w = wan_pde(u_params, v_params, key, dtype)
-                # data/parity/symmetry/norm stay on the fixed grid
-                if cfg.wan_resample or cfg.grid_jitter:
+                loss_pde, u_w, Xw = wan_pde(u_params, v_params, key, dtype)
+                if cfg.grid_jitter:
+                    # every integral term rides the jittered lattice (same
+                    # forward as the weak form; reflections of a shifted
+                    # lattice are equally unbiased) — no second full-grid
+                    # forward (the grid400 HBM-crash suspect, TODO Open #3)
+                    u, Xq = u_w, Xw
+                elif cfg.wan_resample:
+                    # iid-uniform points make reflection/norm estimates
+                    # noisy — those terms stay on the fixed grid
                     if dtype == "bfloat16":
                         p_c = jax.tree_util.tree_map(
                             lambda x: x.astype(jnp.bfloat16), u_params
@@ -387,10 +414,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                         ).astype(jnp.float32)
                     else:
                         u = model.apply_batch(u_params, X)
+                    Xq = None
                 else:
-                    u = u_w
+                    u, Xq = u_w, None
                 terms = {"pde": loss_pde, "drm": jnp.asarray(0.0)}
-                terms.update(shared_terms(u_params, u, dtype))
+                terms.update(shared_terms(u_params, u, dtype, Xq=Xq))
                 total = sum(w[k] * terms[k] for k in w)
                 return total, terms
 
@@ -425,8 +453,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             u16, v16 = make_wan_losses("bfloat16")
             r1 = fit_wan(
                 u16, v16, eval_fn, params, v_params, epochs=bulk,
-                key=jax.random.fold_in(key, 1), **wan_kw,
+                key=jax.random.fold_in(key, 1), compile_only=compile_only,
+                **wan_kw,
             )
+            if compile_only:
+                return r1
             result = fit_wan(
                 u_loss_fn, v_loss_fn, eval_fn, params, v_params,
                 epochs=cfg.epochs - bulk,
@@ -440,8 +471,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
             result = fit_wan(
                 u_loss_fn, v_loss_fn, eval_fn, params, v_params,
                 epochs=cfg.epochs,
-                key=jax.random.fold_in(key, 1), **wan_kw,
+                key=jax.random.fold_in(key, 1), compile_only=compile_only,
+                **wan_kw,
             )
+            if compile_only:
+                return result
     else:
         optimizer = make_optimizer(
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,
@@ -459,7 +493,10 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                 lambda p, k: lt16(p), eval_fn, params,
                 epochs=bulk, optimizer=optimizer,
                 key=jax.random.fold_in(key, 1), chunk=chunk,
+                compile_only=compile_only,
             )
+            if compile_only:
+                return r1
             result = fit(
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs - bulk, optimizer=optimizer,
@@ -474,7 +511,10 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None) -> Dict
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs, optimizer=optimizer,
                 key=jax.random.fold_in(key, 1), chunk=chunk,
+                compile_only=compile_only,
             )
+            if compile_only:
+                return result
         if cfg.LBFGS:
             polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
                                        max_iter=500)

@@ -98,6 +98,38 @@ def _stack_history(parts):
     return out
 
 
+def _compile_probe(scan_chunk, carry, *, epochs, chunk, key):
+    """Lower + compile one scan chunk and return its memory analysis.
+
+    Compile-only: nothing executes on the device, so HBM-pressure
+    questions (does this step fit?) are answerable without risking the
+    worker (TODO Open #3: grid400+jitter kills the TPU worker ~minutes
+    into the run).  Returns bytes for arguments / outputs / temps /
+    generated code, plus their total vs the device's memory.
+    """
+    n = min(chunk, max(epochs, 1))
+    xs = (jnp.arange(n),
+          jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n)))
+    compiled = scan_chunk.lower(carry, xs).compile()
+    ma = compiled.memory_analysis()
+    out = {}
+    for f in ("argument_size_in_bytes", "output_size_in_bytes",
+              "temp_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        out[f] = int(getattr(ma, f, -1))
+    out["total_nonalias_bytes"] = (
+        out["argument_size_in_bytes"] + out["output_size_in_bytes"]
+        + out["temp_size_in_bytes"] - max(out["alias_size_in_bytes"], 0)
+    )
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        out["device_bytes_limit"] = int(stats.get("bytes_limit", -1))
+    except Exception:  # pragma: no cover
+        out["device_bytes_limit"] = -1
+    return out
+
+
 def fit(
     loss_fn: Callable,               # (params, key) -> (scalar, metrics dict)
     eval_fn: Callable,               # (params, key) -> scalar (lower = better)
@@ -110,10 +142,15 @@ def fit(
     progress: Optional[Callable[[int, Dict[str, float]], None]] = None,
     init_carry=None,
     start_epoch: int = 0,
+    compile_only: bool = False,
 ) -> FitResult:
     """``init_carry``/``start_epoch`` resume a run from a previous
     ``FitResult.carry`` (checkpoint/resume — the reference can only
-    checkpoint, never resume, SURVEY.md §5)."""
+    checkpoint, never resume, SURVEY.md §5).
+
+    ``compile_only=True`` lowers+compiles one scan chunk and returns its
+    memory-analysis dict instead of training (see :func:`_compile_probe`).
+    """
     enable_compilation_cache()
     opt_state = optimizer.init(params)
 
@@ -145,6 +182,9 @@ def fit(
         params,
         jnp.asarray(-1, jnp.int32),
     )
+    if compile_only:
+        return _compile_probe(scan_chunk, carry, epochs=epochs, chunk=chunk,
+                              key=key)
     carry, history, timing = _run_chunks(
         scan_chunk, carry, epochs=epochs, chunk=chunk,
         start_epoch=start_epoch, key=key, progress=progress,
@@ -179,6 +219,7 @@ def fit_wan(
     start_epoch: int = 0,
     minimax: str = "alternating",    # alternating | extragradient | optimistic
     u_ema: float = 0.0,              # >0: track an EMA of u and eval it too
+    compile_only: bool = False,      # lower+compile only; return memory stats
 ) -> FitResult:
     """Fused adversarial training step: v_steps critic updates then one
     primal update, all inside one compiled scan step.
@@ -309,6 +350,9 @@ def fit_wan(
         u_params,                     # EMA of the primal iterate
         zero_g,                       # previous gradients (OGDA)
     )
+    if compile_only:
+        return _compile_probe(scan_chunk, carry, epochs=epochs, chunk=chunk,
+                              key=key)
     carry, history, timing = _run_chunks(
         scan_chunk, carry, epochs=epochs, chunk=chunk,
         start_epoch=start_epoch, key=key, progress=progress,

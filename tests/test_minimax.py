@@ -141,3 +141,62 @@ def test_cosine_decay_then_hold():
     early, floor_a, floor_b = scale_at(10), scale_at(300), scale_at(900)
     assert early > 3 * floor_a           # decayed well before total_steps
     assert abs(floor_a - floor_b) / floor_a < 0.05   # flat hold after decay
+
+
+def test_wan_grid_jitter_single_forward_path():
+    """grid_jitter: every integral term rides the jittered lattice — the
+    run is finite and deterministic per seed, and differs from the fixed-
+    grid run (the jitter actually reaches the loss).  Round-3 refactor:
+    the jitter path no longer does a second full-grid forward (the grid400
+    HBM-crash suspect, TODO Open #3)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    base = dict(
+        nx=1, ny=1, method="WAN", technique="FN", epochs=40, chunk=20,
+        grid_n=24, data_grid_n=10, n_boundary=20,
+        layers=(2, 16, 16, 1), v_layers=(2, 8, 8, 1), v_steps=2,
+        minimax="extragradient", v_lr=2e-3,
+    )
+    out_j = train_ipw_2d(IPW2DConfig(grid_jitter=True, **base))
+    out_j2 = train_ipw_2d(IPW2DConfig(grid_jitter=True, **base))
+    out_f = train_ipw_2d(IPW2DConfig(**base))
+    assert np.all(np.isfinite(out_j["history"]["l2"]))
+    assert out_j["L2_error"] == out_j2["L2_error"]          # seed-determinism
+    assert out_j["history"]["total"][-1] != out_f["history"]["total"][-1]
+
+
+def test_wan_grid_jitter_with_symmetry_orth_terms():
+    """Degenerate pair (nx == ny) with an orthogonality override: the
+    jittered path must rebuild lower states on the jittered lattice (the
+    fixed-grid `lower` table no longer matches u's quadrature set)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    out = train_ipw_2d(IPW2DConfig(
+        nx=2, ny=2, method="WAN", technique="FN", epochs=20, chunk=10,
+        grid_n=16, data_grid_n=8, n_boundary=12,
+        layers=(2, 12, 12, 1), v_layers=(2, 8, 8, 1), v_steps=1,
+        grid_jitter=True, weights={"orth": 100.0},
+    ))
+    assert np.all(np.isfinite(out["history"]["l2"]))
+
+
+def test_fit_compile_only_memory_probe():
+    """compile_only returns XLA memory-analysis numbers, not a FitResult
+    (the HBM-pressure probe of TODO Open #3; scripts/wan_mem_probe.py)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    stats = train_ipw_2d(IPW2DConfig(
+        nx=1, ny=1, method="WAN", technique="FN", epochs=10, chunk=5,
+        grid_n=12, data_grid_n=8, n_boundary=8,
+        layers=(2, 8, 8, 1), v_layers=(2, 8, 1), v_steps=1,
+    ), compile_only=True)
+    assert isinstance(stats, dict)
+    for k in ("argument_size_in_bytes", "temp_size_in_bytes",
+              "total_nonalias_bytes"):
+        assert k in stats
+    # PINN branch probes fit() the same way
+    stats_p = train_ipw_2d(IPW2DConfig(
+        nx=1, ny=1, method="PINN", technique="FBC", epochs=10, chunk=5,
+        grid_n=12, data_grid_n=8, n_boundary=8, layers=(2, 8, 8, 1),
+    ), compile_only=True)
+    assert "argument_size_in_bytes" in stats_p
