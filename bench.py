@@ -95,6 +95,11 @@ def main(all_devices: bool = False, batch: int | None = None,
         {"fwd_impl": "pallas2:default", "dot_dtype": "bfloat16"}
         if kernel_mode == "bf16" and impl == "pallas" else {}
     )
+    # --kernel-mode fused: one-pass fused loss+grad kernel — the separate
+    # jet-forward kernel disappears entirely (kernels/fused_step.py);
+    # identical loss definition (r = -lap u - f), grads from the in-kernel
+    # reverse sweep.  Interpreter mode off-TPU (validation only).
+    use_fused = kernel_mode == "fused"
 
     if all_devices:
         from nnpde_tpu.parallel.mesh import (
@@ -110,17 +115,30 @@ def main(all_devices: bool = False, batch: int | None = None,
     else:
         mesh = shard = None
 
+    if use_fused:
+        from nnpde_tpu.kernels import (
+            fused_linear_residual, residual_coefficients,
+        )
+
+        coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
+            if use_fused:
+                loss, _, grads = fused_linear_residual(
+                    params, X, coef, "sin"
+                )
+            else:
 
-            def loss_fn(p):
-                jet = model.fields(p, X, impl=impl, **kernel_opts)
-                # with X batch-sharded, XLA partitions the residual eval
-                # per device and all-reduces the mean — same math as one chip
-                return pinn_poisson(jet.lap, f)
+                def loss_fn(p):
+                    jet = model.fields(p, X, impl=impl, **kernel_opts)
+                    # with X batch-sharded, XLA partitions the residual
+                    # eval per device and all-reduces the mean — same math
+                    # as one chip
+                    return pinn_poisson(jet.lap, f)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
@@ -170,11 +188,13 @@ if __name__ == "__main__":
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="validation mode: force an N-device virtual CPU "
                          "mesh instead of the real backend")
-    ap.add_argument("--kernel-mode", choices=["exact", "bf16"],
+    ap.add_argument("--kernel-mode", choices=["exact", "bf16", "fused"],
                     default="exact",
                     help="bf16 = the 1-pass-bf16 jet kernel (the "
                          "'hybrid-kernel' bulk phase) as a second bench "
-                         "line; default exact bf16x3 (f32-class)")
+                         "line; fused = one-pass fused loss+grad kernel "
+                         "(kernels/fused_step.py); default exact bf16x3 "
+                         "(f32-class)")
     a = ap.parse_args()
     main(all_devices=a.all_devices, batch=a.batch, steps=a.steps,
          cpu_mesh=a.cpu_mesh, kernel_mode=a.kernel_mode)

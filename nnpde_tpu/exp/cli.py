@@ -78,9 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(PINN + --jet-impl pallas)")
     p.add_argument("--norm-mode", choices=["nontrivial", "l2"],
                    default="nontrivial")
-    p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
                    help="PINN jet backend; pallas = lane-packed VMEM "
-                        "kernels (~2.4x at width 64 on TPU)")
+                        "kernels (~2.4x at width 64 on TPU); pallas-fused "
+                        "= one-pass fused loss+grad kernel (PINN only)")
     p.add_argument("--wan-reg", type=float, default=1.0,
                    help="WAN critic regularisation weight")
     _add_common(p, epochs=10000)
@@ -133,8 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32",
                    help="WAN too as of round 3 (bf16 minimax bulk + f32 "
                         "tail, full carry across the switch)")
-    p.add_argument("--jet-impl", choices=["xla", "pallas"], default="xla",
-                   help="pallas = lane-packed VMEM kernels (TPU)")
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
+                   help="pallas = lane-packed VMEM kernels (TPU); "
+                        "pallas-fused = one-pass fused loss+grad kernel "
+                        "(PINN only)")
     p.add_argument("--minimax",
                    choices=["alternating", "extragradient", "optimistic"],
                    default="alternating",
@@ -204,6 +209,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--u-ema", type=float, default=0.0,
                    help="EMA decay for the averaged primal iterate")
     p.add_argument("--lbfgs", action="store_true")
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
+                   help="pallas-fused = one-pass fused loss+grad kernel "
+                        "(PINN only; in-kernel dL/dE with "
+                        "--trainable-energy)")
     _add_common(p, epochs=10000)
 
     p = sub.add_parser("sweep", help="reference experiment sweeps")
@@ -362,6 +372,7 @@ def _dispatch(args) -> int:
                           energy_variant=args.energy_variant,
                           lr_schedule=args.lr_schedule, minimax=args.minimax,
                           v_lr=args.v_lr, u_ema=args.u_ema,
+                          jet_impl=args.jet_impl,
                           LBFGS=args.lbfgs, **kw)
         out = run_qho_2d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_2D"))
     elif args.cmd == "sweep":

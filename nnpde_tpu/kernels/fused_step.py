@@ -1,0 +1,324 @@
+"""Fused PINN loss+gradient Pallas kernel (one VMEM pass per tile).
+
+Every strong-form residual loss in the reference is ``w * mean(r^2)`` with
+``r`` LINEAR in the jet of the raw network (the trial factor B and the
+physics enter as per-point coefficients):
+
+* Poisson ``mean((-lap u - f)^2)``           (Poisson_ND.py:91-96)
+* Helmholtz/IPW ``mean((lap u + k^2 u)^2)``  (IPW_1D_PINN_DRM.py:63-83)
+* Schrodinger ``mean((-1/2 lap u + (V-E) u)^2)``
+                                             (QHO_1D_PINN_DRM.py:161-174)
+
+with ``u = B * net``:  ``lap u = B*lap(net) + 2 grad B . grad(net)
++ net * lap B`` — so for every one of them
+
+    r_i = c_i * net_i + sum_j b_ij * dnet_ij + a_i * lap(net)_i + rhs_i
+
+with per-point constants (a, b, c, rhs) built once from the factor jet,
+the RHS/potential and the (possibly trainable) eigenvalue.
+
+The recompute backward (:func:`.fwdlap_pallas._backward_kernel`) already
+reconstructs the whole forward in VMEM; the separate jet-forward kernel is
+therefore redundant work whenever the loss has this shape.  This kernel
+runs the same recompute, projects the per-point (value, grad, lap) jets,
+forms ``r`` IN-KERNEL from a coefficient input stream, accumulates the
+loss sums, seeds the cotangents ``(r*c, r*b, r*a)`` and runs the shared
+reverse sweep — loss AND parameter gradients in ONE pass (the forward
+kernel's HBM stream traffic disappears; measured number in
+BENCHMARKS.md, ``bench.py --kernel-mode fused``).
+
+Coefficient layout per point (``nc = d + 4`` columns):
+
+    [c, b_0..b_{d-1}, a, rhs, e]
+
+where ``e`` is an optional extra-output coefficient: the kernel also
+accumulates ``sum_i r_i * e_i * net_i``.  With ``e = B`` (the factor
+value) that is ``sum r * u_full`` — exactly what the trainable-eigenvalue
+gradient needs (``dL/dE = -(2w/N) sum r u`` for the Schrodinger residual,
+QHO_1D_WAN.py:101 / KH_1D.py:217).  Pass zeros when unused.
+
+Unlike the jet-forward kernel there is NO input-dimension cap: no jet ever
+leaves the kernel, so d is limited only by VMEM (the d+2 streams).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .fwdlap_pallas import (
+    _block2,
+    _fwd_recompute,
+    _pad,
+    _reverse_sweep,
+    pallas_available,
+)
+
+
+def _fused_kernel(d, K, T, activation, concat_streams, dot_dtype, packed,
+                  nc, X_ref, *refs):
+    """Forward recompute -> in-kernel residual -> reverse sweep, one tile.
+
+    Inputs: X (1,T,din), W0..W_{K-2}, wlast_row (1,w), b0..b_{K-2} (1,w),
+    blast (1,1), coef (1,T,dcoef).  Under ``packed`` din = 2d, w = 2w,
+    dcoef = 2*nc (point a's nc columns then point b's).
+    Outputs (accumulated over the sequential grid): dW0.., dWlast_row,
+    db0.., sums (1,128) with lane 0 = sum r^2, lane 1 = sum r*c
+    (the blast gradient seed), lane 2 = sum r*e*value.
+    """
+    n_w = K - 1
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]                       # (1, w)
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    blast = refs[2 * n_w + 1][...]                   # (1, 1)
+    coef_ref = refs[2 * n_w + 2]                     # (1, T, dcoef)
+    out_refs = refs[2 * n_w + 3:]
+    dW_refs = out_refs[:n_w]
+    dWlast_ref = out_refs[n_w]
+    db_refs = out_refs[n_w + 1:2 * n_w + 1]
+    sums_ref = out_refs[2 * n_w + 1]                 # (1, 128)
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+
+    prec = jax.lax.Precision.DEFAULT
+    cast = ((lambda x: x.astype(jnp.bfloat16))
+            if dot_dtype == "bfloat16" else (lambda x: x))
+    X = X_ref[0]
+    Ws_c, saved, final = _fwd_recompute(
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+    )
+    _, _, _, _, A, Jmid, lmid = final
+    coef = coef_ref[0]                               # (T, dcoef)
+
+    if packed:
+        vw = A.shape[1]                        # last hidden (blocked) width
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def proj2(S):
+            """Per-half scalar projections (point a / point b)."""
+            P = S * wlast_row
+            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
+
+        def cc(i):
+            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
+
+        va, vb = proj2(A)
+        va, vb = va + blast, vb + blast
+        gs = [proj2(Jm) for Jm in Jmid]
+        la, lb = proj2(lmid)
+        ca, cb = cc(0)
+        aa, ab = cc(d + 1)
+        rha, rhb = cc(d + 2)
+        ea, eb = cc(d + 3)
+        ra = ca * va + aa * la + rha
+        rb = cb * vb + ab * lb + rhb
+        for j in range(d):
+            bja, bjb = cc(1 + j)
+            ra = ra + bja * gs[j][0]
+            rb = rb + bjb * gs[j][1]
+        s_r2 = (jnp.sum(ra * ra, keepdims=True)
+                + jnp.sum(rb * rb, keepdims=True))
+        s_rc = (jnp.sum(ra * ca, keepdims=True)
+                + jnp.sum(rb * cb, keepdims=True))
+        s_ru = (jnp.sum(ra * ea * va, keepdims=True)
+                + jnp.sum(rb * eb * vb, keepdims=True))
+        ct_v = jnp.where(left, ra * ca, rb * cb)
+        ct_g = []
+        for j in range(d):
+            bja, bjb = cc(1 + j)
+            ct_g.append(jnp.where(left, ra * bja, rb * bjb))
+        ct_l = jnp.where(left, ra * aa, rb * ab)
+    else:
+        value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
+        gs = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
+        lap = jnp.sum(lmid * wlast_row, axis=1, keepdims=True)
+        c = coef[:, 0:1]
+        a_ = coef[:, d + 1:d + 2]
+        rhs = coef[:, d + 2:d + 3]
+        e_ = coef[:, d + 3:d + 4]
+        r = c * value + a_ * lap + rhs
+        for j in range(d):
+            r = r + coef[:, 1 + j:2 + j] * gs[j]
+        s_r2 = jnp.sum(r * r, keepdims=True)
+        s_rc = jnp.sum(r * c, keepdims=True)
+        s_ru = jnp.sum(r * e_ * value, keepdims=True)
+        ct_v = r * c
+        ct_g = [r * coef[:, 1 + j:2 + j] for j in range(d)]
+        ct_l = r * a_
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sums_ref[...] += (jnp.where(lane == 0, s_r2.reshape(1, 1), 0.0)
+                      + jnp.where(lane == 1, s_rc.reshape(1, 1), 0.0)
+                      + jnp.where(lane == 2, s_ru.reshape(1, 1), 0.0))
+    _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
+                   X, Ws_c, wlast_row, saved, final, ct_v, ct_g, ct_l,
+                   dW_refs, dWlast_ref, db_refs)
+
+
+def residual_coefficients(factor_jet, *, c0=None, b0=None, a0=1.0, rhs=None,
+                          e_lane=False):
+    """Build the (N, d+4) coefficient stream for ``r`` acting on u = B*net.
+
+    The PDE operator is ``r = a0 * lap(u) + b0 . grad(u) + c0 * u + rhs``
+    (per-point arrays or scalars); with ``u = B*net`` the chain rule gives
+    the net-jet coefficients
+
+        a = a0*B,  b_j = a0*2*dB_j + b0_j*B,
+        c = a0*lapB + b0 . gradB + c0*B.
+
+    ``e_lane=True`` fills the extra-output lane with B (so the kernel
+    accumulates ``sum r * u_full``, the trainable-E gradient seed).
+    """
+    B, gB, lB = factor_jet.value, factor_jet.grad, factor_jet.lap
+    N, d = gB.shape
+    zero = jnp.zeros((N,), B.dtype)
+    c0v = zero if c0 is None else jnp.broadcast_to(jnp.asarray(c0), (N,))
+    a0v = jnp.broadcast_to(jnp.asarray(a0), (N,))
+    rhsv = zero if rhs is None else jnp.broadcast_to(jnp.asarray(rhs), (N,))
+    if b0 is None:
+        b0v = jnp.zeros((N, d), B.dtype)
+    else:
+        b0v = jnp.broadcast_to(jnp.asarray(b0), (N, d))
+    a = a0v * B
+    b = a0v[:, None] * 2.0 * gB + b0v * B[:, None]
+    c = a0v * lB + jnp.sum(b0v * gB, axis=1) + c0v * B
+    e = B if e_lane else zero
+    return jnp.concatenate(
+        [c[:, None], b, a[:, None], rhsv[:, None], e[:, None]], axis=1
+    )
+
+
+def fused_linear_residual(
+    params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    X,
+    coef,
+    activation: str,
+    *,
+    weight: float = 1.0,
+    bwd_tile: int | None = None,
+    interpret: bool | None = None,
+    concat_streams: bool = True,
+    dot_dtype: str = "float32",
+    lane_pack: int | None = None,
+):
+    """Fused ``loss = weight * mean(r^2)`` AND its parameter gradients.
+
+    ``coef``: (N, d+4) per-point residual coefficients — see
+    :func:`residual_coefficients` and the module docstring for the layout.
+    Returns ``(loss, aux, grads)`` with ``grads`` matching the params
+    pytree (list of (dW, db)); ``aux['sum_r_ufull'] = sum_i r_i e_i u_i``
+    (the trainable-E seed) and ``aux['n']`` the point count.  X gets no
+    cotangent (collocation data).  Off-TPU runs in interpreter mode.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    Ws = [W for W, _ in params]
+    bs = [b.reshape(1, -1) for _, b in params]
+    d = X.shape[1]
+    K = len(Ws)
+    nc = d + 4
+    if coef.shape != (X.shape[0], nc):
+        raise ValueError(
+            f"coef must be (N, d+4) = ({X.shape[0]}, {nc}), got {coef.shape}"
+        )
+    if bwd_tile is None:
+        # same auto rule as the recompute backward (fwdlap_pallas)
+        bwd_tile = 512 if all(W.shape[1] <= 64 for W in Ws[:-1]) else 256
+    if lane_pack is None:
+        lane_pack = 2 if (
+            all(W.shape[1] <= 64 for W in Ws[:-1]) and bwd_tile % 2 == 0
+        ) else 1
+    if lane_pack not in (1, 2):
+        raise ValueError(f"lane_pack must be 1 or 2, got {lane_pack}")
+    if lane_pack == 2 and bwd_tile % 2:
+        raise ValueError(f"lane_pack=2 needs an even tile, got {bwd_tile}")
+    tile = bwd_tile
+    N0 = X.shape[0]
+    Xp, N, Np = _pad(X, tile)
+    n_tiles = Np // tile
+    coefp = coef
+    if Np != N0:
+        # zero coefficients make padded rows exact no-ops (r = 0, ct = 0)
+        coefp = jnp.concatenate(
+            [coef, jnp.zeros((Np - N0, nc), coef.dtype)], 0
+        )
+    packed = lane_pack == 2
+    if packed:
+        rows = tile // 2
+        Xt = Xp.reshape(n_tiles, 2, rows, d).transpose(0, 2, 1, 3).reshape(
+            n_tiles, rows, 2 * d)
+        Ct = coefp.reshape(n_tiles, 2, rows, nc).transpose(
+            0, 2, 1, 3).reshape(n_tiles, rows, 2 * nc)
+        W_in = [_block2(W) for W in Ws[:-1]]
+        row = Ws[-1].reshape(1, -1)
+        W_in.append(jnp.concatenate([row, row], axis=1))
+        b_in = [jnp.concatenate([b] * 2, axis=1) for b in bs[:-1]]
+        T, din, dcoef = rows, 2 * d, 2 * nc
+    else:
+        Xt = Xp.reshape(n_tiles, tile, d)
+        Ct = coefp.reshape(n_tiles, tile, nc)
+        W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
+        b_in = list(bs[:-1])
+        T, din, dcoef = tile, d, nc
+    blast = bs[-1].reshape(1, 1)
+    kernel = functools.partial(_fused_kernel, d, K, T, activation,
+                               concat_streams, dot_dtype, packed, nc)
+    in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
+    in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+    in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+    in_specs += [pl.BlockSpec(blast.shape, lambda i: (0, 0))]
+    in_specs += [pl.BlockSpec((1, T, dcoef), lambda i: (i, 0, 0))]
+    out_specs = (
+        [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+        + [pl.BlockSpec((1, 128), lambda i: (0, 0))]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in W_in]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b_in]
+        + [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(Xt, *W_in, *b_in, blast, Ct)
+    sums = outs[-1][0]
+    if packed:
+        def fold_W(O, W):
+            m, n = W.shape
+            return O[:m, :n] + O[m:, n:]
+
+        dWs = [fold_W(o, W) for o, W in zip(outs[:K - 1], Ws[:-1])]
+        w = Ws[-1].shape[0]
+        dWs.append((outs[K - 1][:, :w] + outs[K - 1][:, w:]).reshape(
+            Ws[-1].shape))
+        dbs = [
+            (o[:, :b.shape[1]] + o[:, b.shape[1]:]).reshape(b.shape[1])
+            for o, b in zip(outs[K:2 * K - 1], bs[:-1])
+        ]
+    else:
+        dWs = list(outs[:K - 1]) + [outs[K - 1].reshape(Ws[-1].shape)]
+        dbs = [o.reshape(b.shape[1])
+               for o, b in zip(outs[K:2 * K - 1], bs[:-1])]
+    # L = weight/N * sum r^2  =>  dtheta = (2*weight/N) * sum r dr/dtheta
+    scale = 2.0 * weight / N
+    loss = weight * sums[0] / N
+    db_last = (scale * sums[1]).reshape(params[-1][1].shape)
+    grads = [(scale * dW, scale * db) for dW, db in zip(dWs[:-1], dbs)]
+    grads.append((scale * dWs[-1], db_last))
+    aux = {"sum_r2": sums[0], "sum_r_ufull": sums[2], "n": N}
+    return loss, aux, grads

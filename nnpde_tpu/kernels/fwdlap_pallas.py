@@ -353,61 +353,16 @@ def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
     return dv, dJs_out, dl
 
 
-def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
-                     packed, X_ref, *refs):
-    """Recompute the forward in VMEM with flat 2D (T, w) streams, then
-    reverse in the same tile; accumulate dW/db across TPU's sequential grid.
+def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
+                   X, Ws, bs, packed):
+    """Shared VMEM forward recompute with flat 2D (T, w) streams.
 
-    Round-1 postmortem: the 3D stacked-stream variant spent its time on
-    VMEM relayout copies (jnp.stack / (d+2,T,w)<->((d+2)T,w) reshapes) and
-    no longer compiles on the remote Mosaic helper.  This version keeps
-    every stream a separate 2D value, uses dot_general for all transposed
-    contractions, and leaves the narrow (w,1) output projection to the
-    host-side rule (ct arrives pre-multiplied; see _bwd_rule).
-
-    ``concat_streams``: merge the d+2 per-stage dots into one ((d+2)T, w)
-    dot via sublane concat (fewer MXU pipeline drains).  ``dot_dtype``:
-    'bfloat16' casts dot INPUTS to bf16 (f32 accumulate) — gradients are
-    means over >= 1e5 points, so the quantisation noise averages out.
-
-    ``packed``: 2-point lane packing.  Width-64 nets use only half of every
-    8x128 VPU vreg and a quarter of each 128x128 MXU tile (measured: both
-    kernels VPU-bound at 64 lanes).  With ``packed`` the host passes
-    block-diagonal weights (2w = 128 lanes) and each stream row carries TWO
-    collocation points — point a in lanes [0, w), point b in lanes [w, 2w).
-    The jet recurrence is lane-local and the linear maps are block-diagonal,
-    so the kernel body is unchanged; only the J-stream init, the cotangent
-    unpacking and the dW0 jacobian-row placement are half-aware.  The host
-    folds the two diagonal blocks of every dW on the way out.
-
-    Inputs: X (1,T,d) block, W0 (d,w), W1..W_{K-2} (w,w), WlastT (1,w),
-    b0..b_{K-2} (1,w), ct (1,T,d+2); under ``packed`` T counts ROWS (=
-    points/2), d -> 2d, w -> 2w, d+2 -> 2(d+2).
-    Outputs (accumulated): dW0 (d,w), dW1.. (w,w), dWlast_row (1,w),
-    db0..b_{K-2} (1,w) — blocked shapes under ``packed``.
+    Used by both the recompute backward (:func:`_backward_kernel`) and the
+    fused loss+grad kernel (:mod:`.fused_step`).  Returns
+    ``(Ws_c, saved, final)`` where ``saved[k-1] = (Js, l, q, pack, Jmid,
+    lmid)`` holds hidden stage ``k``'s streams and ``final = (Js, l, q,
+    pack, A, Jmid, lmid)`` is the last stage pre-projection.
     """
-    act = _act_fns(activation)
-    n_w = K - 1          # W0 .. W_{K-2} passed whole; W_{K-1} as row
-    Ws = [refs[i][...] for i in range(n_w)]
-    wlast_row = refs[n_w][...]                       # (1, w)
-    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
-    ct_ref = refs[2 * n_w + 1]                       # (1, T, d+2)
-    out_refs = refs[2 * n_w + 2:]
-    dW_refs = out_refs[:n_w]
-    dWlast_ref = out_refs[n_w]                       # (1, w)
-    db_refs = out_refs[n_w + 1:]
-
-    first = pl.program_id(0) == 0
-
-    @pl.when(first)
-    def _():
-        for r in out_refs:
-            r[...] = jnp.zeros_like(r)
-
-    prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
-    X = X_ref[0]                                      # (T, d)
     w0 = Ws[0]
     width = w0.shape[1]
     Ws_c = [cast(W) for W in Ws]
@@ -426,7 +381,7 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
         return v, Js, _dot(cast(lmid), W, prec)
 
     # ---- forward recompute; per-stage packs and mid streams stay in VMEM
-    # (the backward reuses them — no second nonlinearity evaluation)
+    # (the reverse sweep reuses them — no second nonlinearity evaluation)
     v = _dot(cast(X), cast(w0), prec) + bs[0]
     if packed:
         # blocked W0 rows are [W0_i | 0] (row i) and [0 | W0_i] (row d+i);
@@ -445,30 +400,25 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
         )
         saved.append((Js, l, q, pack, Jmid, lmid))
         v, Js, l = fwd_linear(k, A, Jmid, lmid)
-
-    # ---- final stage: nonlinearity + scalar projection w_last (w, 1)
-    ct = ct_ref[0]                                    # (T, d+2)
-    if packed:
-        # per-half cotangent broadcast: lanes [0, w) get point a's scalar,
-        # lanes [w, 2w) point b's (ct block layout: a's d+2 cols then b's)
-        vw = v.shape[1]                         # last hidden (blocked) width
-        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
-
-        def two(i):
-            return jnp.where(left, ct[:, i:i + 1], ct[:, d + 2 + i:d + 3 + i])
-
-        ct_v = two(0)
-        ct_g = [two(1 + i) for i in range(d)]
-        ct_l = two(d + 1)
-    else:
-        ct_v = ct[:, 0:1]
-        ct_g = [ct[:, 1 + i:2 + i] for i in range(d)]
-        ct_l = ct[:, d + 1:d + 2]
     pack = _act_pack(activation, v)
     q = _sum_sq(Js)
     A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
         pack[1] * l + pack[2] * q
     )
+    return Ws_c, saved, (Js, l, q, pack, A, Jmid, lmid)
+
+
+def _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
+                   X, Ws_c, wlast_row, saved, final, ct_v, ct_g, ct_l,
+                   dW_refs, dWlast_ref, db_refs):
+    """Shared in-tile reverse sweep given per-mid-stream cotangents.
+
+    ``ct_v/ct_g/ct_l``: cotangents of the FINAL mid streams already
+    broadcast to (T, w) shape (under ``packed``, per-half).  Accumulates
+    dW/db into the output refs across TPU's sequential grid.
+    """
+    Js, l, q, pack, A, Jmid, lmid = final
+    width = Ws_c[0].shape[1]
     G = A * ct_v + lmid * ct_l
     for Jm, cg in zip(Jmid, ct_g):
         G = G + Jm * cg
@@ -517,6 +467,87 @@ def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
     dW0 = dW0 + jnp.concatenate(rows, axis=0)         # (d, w) sublane concat
     dW_refs[0][...] += dW0.astype(jnp.float32)
     db_refs[0][...] += jnp.sum(dv, axis=0, keepdims=True)
+
+
+def _backward_kernel(d, K, T, activation, concat_streams, dot_dtype,
+                     packed, X_ref, *refs):
+    """Recompute the forward in VMEM with flat 2D (T, w) streams, then
+    reverse in the same tile; accumulate dW/db across TPU's sequential grid.
+
+    Round-1 postmortem: the 3D stacked-stream variant spent its time on
+    VMEM relayout copies (jnp.stack / (d+2,T,w)<->((d+2)T,w) reshapes) and
+    no longer compiles on the remote Mosaic helper.  This version keeps
+    every stream a separate 2D value, uses dot_general for all transposed
+    contractions, and leaves the narrow (w,1) output projection to the
+    host-side rule (ct arrives pre-multiplied; see _bwd_rule).
+
+    ``concat_streams``: merge the d+2 per-stage dots into one ((d+2)T, w)
+    dot via sublane concat (fewer MXU pipeline drains).  ``dot_dtype``:
+    'bfloat16' casts dot INPUTS to bf16 (f32 accumulate) — gradients are
+    means over >= 1e5 points, so the quantisation noise averages out.
+
+    ``packed``: 2-point lane packing.  Width-64 nets use only half of every
+    8x128 VPU vreg and a quarter of each 128x128 MXU tile (measured: both
+    kernels VPU-bound at 64 lanes).  With ``packed`` the host passes
+    block-diagonal weights (2w = 128 lanes) and each stream row carries TWO
+    collocation points — point a in lanes [0, w), point b in lanes [w, 2w).
+    The jet recurrence is lane-local and the linear maps are block-diagonal,
+    so the kernel body is unchanged; only the J-stream init, the cotangent
+    unpacking and the dW0 jacobian-row placement are half-aware.  The host
+    folds the two diagonal blocks of every dW on the way out.
+
+    Inputs: X (1,T,d) block, W0 (d,w), W1..W_{K-2} (w,w), WlastT (1,w),
+    b0..b_{K-2} (1,w), ct (1,T,d+2); under ``packed`` T counts ROWS (=
+    points/2), d -> 2d, w -> 2w, d+2 -> 2(d+2).
+    Outputs (accumulated): dW0 (d,w), dW1.. (w,w), dWlast_row (1,w),
+    db0..b_{K-2} (1,w) — blocked shapes under ``packed``.
+    """
+    n_w = K - 1          # W0 .. W_{K-2} passed whole; W_{K-1} as row
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]                       # (1, w)
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    ct_ref = refs[2 * n_w + 1]                       # (1, T, d+2)
+    out_refs = refs[2 * n_w + 2:]
+    dW_refs = out_refs[:n_w]
+    dWlast_ref = out_refs[n_w]                       # (1, w)
+    db_refs = out_refs[n_w + 1:]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+
+    prec = jax.lax.Precision.DEFAULT
+    cast = ((lambda x: x.astype(jnp.bfloat16))
+            if dot_dtype == "bfloat16" else (lambda x: x))
+    X = X_ref[0]                                      # (T, d)
+    Ws_c, saved, final = _fwd_recompute(
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+    )
+
+    # ---- final stage: cotangents arrive pre-multiplied from the host rule
+    ct = ct_ref[0]                                    # (T, d+2)
+    if packed:
+        # per-half cotangent broadcast: lanes [0, w) get point a's scalar,
+        # lanes [w, 2w) point b's (ct block layout: a's d+2 cols then b's)
+        vw = final[4].shape[1]                  # last hidden (blocked) width
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def two(i):
+            return jnp.where(left, ct[:, i:i + 1], ct[:, d + 2 + i:d + 3 + i])
+
+        ct_v = two(0)
+        ct_g = [two(1 + i) for i in range(d)]
+        ct_l = two(d + 1)
+    else:
+        ct_v = ct[:, 0:1]
+        ct_g = [ct[:, 1 + i:2 + i] for i in range(d)]
+        ct_l = ct[:, d + 1:d + 2]
+    _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
+                   X, Ws_c, wlast_row, saved, final, ct_v, ct_g, ct_l,
+                   dW_refs, dWlast_ref, db_refs)
 
 
 # --------------------------------------------------------------- entry points

@@ -142,7 +142,15 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
     # ladder found no cliff on either step shape, so the default cap of
     # 1000 is uncapped in practice; NNPDE_PALLAS_CHUNK_CAP overrides).
     cap = runtime.pallas_chunk_cap()
-    chunk = min(cfg.chunk, cap) if cfg.jet_impl == "pallas" else cfg.chunk
+    chunk = (min(cfg.chunk, cap) if cfg.jet_impl.startswith("pallas")
+             else cfg.chunk)
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(kernels/fused_step.py) — PINN only"
+        )
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -481,6 +489,42 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,
             decay_steps=cfg.lr_decay_steps, final_scale=cfg.lr_final_scale,
         )
+        if cfg.jet_impl == "pallas-fused":
+            # One-pass fused loss+grad kernel on the Helmholtz residual
+            # r = lap u + k^2 u (u = B*net; coefficients from the factor
+            # jet, fixed grid).  Replaces IPW_2D.py:210-222's per-direction
+            # second-order autograd passes; the f32 phases only — the bf16
+            # bulk phase keeps the XLA stream path (kernels are f32-in).
+            from ..kernels import fused_linear_residual, residual_coefficients
+
+            coef_fused = residual_coefficients(
+                factor.jet(X), a0=1.0, c0=k_squared
+            )
+
+            def lag_fn(p_all, key):
+                pde, _, g_pde = fused_linear_residual(
+                    p_all, X, coef_fused, model.spec.activation
+                )
+
+                def aux_loss(p):
+                    u = model.apply_batch(p, X)
+                    terms = shared_terms(p, u)
+                    return sum(w[k] * terms[k] for k in terms), terms
+
+                (aux_tot, terms), g_aux = jax.value_and_grad(
+                    aux_loss, has_aux=True
+                )(p_all)
+                total = w["pde"] * pde + aux_tot
+                grads = jax.tree_util.tree_map(
+                    lambda a, b: w["pde"] * a + b, g_pde, g_aux
+                )
+                metrics = {"pde": pde, "drm": jnp.asarray(0.0)}
+                metrics.update(terms)
+                return (total, metrics), grads
+
+            fused_kw = {"loss_and_grad_fn": lag_fn}
+        else:
+            fused_kw = {}
         if cfg.compute_dtype == "hybrid":
             import numpy as _np
 
@@ -501,7 +545,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs - bulk, optimizer=optimizer,
                 key=jax.random.fold_in(key, 1), chunk=chunk,
-                start_epoch=bulk, init_carry=r1.carry,
+                start_epoch=bulk, init_carry=r1.carry, **fused_kw,
             )
             hist = {k: _np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
@@ -511,7 +555,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 loss_fn, eval_fn, params,
                 epochs=cfg.epochs, optimizer=optimizer,
                 key=jax.random.fold_in(key, 1), chunk=chunk,
-                compile_only=compile_only,
+                compile_only=compile_only, **fused_kw,
             )
             if compile_only:
                 return result

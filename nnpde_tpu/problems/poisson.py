@@ -161,20 +161,29 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             "'hybrid-kernel'"
         )
     if cfg.compute_dtype == "hybrid-kernel" and not (
-        cfg.method == "PINN" and cfg.jet_impl == "pallas"
+        cfg.method == "PINN" and cfg.jet_impl in ("pallas", "pallas-fused")
     ):
         raise ValueError(
             "compute_dtype='hybrid-kernel' is the Pallas-kernel bf16-dot "
-            "bulk mode — requires method='PINN' and jet_impl='pallas'"
+            "bulk mode — requires method='PINN' and jet_impl='pallas' or "
+            "'pallas-fused'"
         )
-    if cfg.jet_impl not in ("xla", "pallas"):
-        raise ValueError("jet_impl must be 'xla' or 'pallas'")
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError(
+            "jet_impl must be 'xla', 'pallas' or 'pallas-fused'"
+        )
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(see kernels/fused_step.py) — PINN only"
+        )
     # Epoch-scan length cap on the pallas jet path.  The round-3 compile-time
     # ladder (artifacts/compile_cliff.json) found NO cliff on this step
     # (3.4-3.9 s flat for chunk 125..1000), so the default cap is 1000
     # (uncapped in practice) — see runtime.pallas_chunk_cap().
     cap = runtime.pallas_chunk_cap()
-    chunk = min(cfg.chunk, cap) if cfg.jet_impl == "pallas" else cfg.chunk
+    chunk = (min(cfg.chunk, cap) if cfg.jet_impl.startswith("pallas")
+             else cfg.chunk)
     ks = cfg.resolved_ks()
     w = cfg.resolved_weights()
     if cfg.bc_type == "neumann":
@@ -314,6 +323,92 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
 
             return loss_fn
 
+        use_fused = cfg.jet_impl == "pallas-fused"
+        if use_fused:
+            # One-pass fused loss+grad kernel (kernels/fused_step.py): the
+            # Poisson residual is linear in the net jet — r = -lap(B*net)
+            # - f with coefficients from the factor jet — so the recompute
+            # backward can form the loss AND the cotangents in-kernel and
+            # the separate jet-forward kernel disappears (measured number
+            # in BENCHMARKS.md).  Replaces Poisson_ND.py:64-96's d+1
+            # autograd graphs per step.
+            from ..kernels import fused_linear_residual, residual_coefficients
+            from ..ops.fwdlap import constant_jet
+
+            def factor_jet_at(X_cur):
+                if model.factor is not None:
+                    return model.factor.jet(X_cur)
+                return constant_jet(
+                    jnp.ones(X_cur.shape[0], X_cur.dtype), cfg.dim
+                )
+
+            coef_fixed = (None if cfg.resample else residual_coefficients(
+                factor_jet_at(X_in), a0=-1.0, rhs=-f_in))
+            need_aux = (w["bc"] > 0 or w["data"] > 0 or w["norm"] > 0
+                        or w["mean"] > 0)
+
+            def make_lag_fn(dtype):
+                dot_dtype = ("bfloat16" if dtype == "kernel-bf16"
+                             else "float32")
+
+                def lag_fn(params, key):
+                    if cfg.resample:
+                        X_cur = draw_interior(jax.random.fold_in(key, 3))
+                        coef = residual_coefficients(
+                            factor_jet_at(X_cur), a0=-1.0,
+                            rhs=-rhs_f(X_cur, cfg.L, ks),
+                        )
+                    else:
+                        X_cur, coef = X_in, coef_fixed
+                    pde, _, g_pde = fused_linear_residual(
+                        params, X_cur, coef, model.spec.activation,
+                        weight=1.0, dot_dtype=dot_dtype,
+                    )
+                    total = w["pde"] * pde
+                    grads = jax.tree_util.tree_map(
+                        lambda g: w["pde"] * g, g_pde
+                    )
+                    zero = jnp.asarray(0.0)
+                    metrics = {"pde": pde, "bc": zero, "data": zero,
+                               "norm": zero}
+                    if need_aux:
+                        # the non-residual terms stay on plain autodiff
+                        # (value forwards only — no jets)
+                        def aux_loss(p):
+                            u_int = (model.apply_batch(p, X_cur)
+                                     if (w["norm"] > 0 or w["mean"] > 0)
+                                     else jnp.zeros((1,)))
+                            bc, data, norm, mean_pen = aux_terms(
+                                p, key, u_int
+                            )
+                            tot = (w["bc"] * bc + w["data"] * data
+                                   + w["norm"] * norm
+                                   + w["mean"] * mean_pen)
+                            return tot, (bc, data, norm)
+
+                        (aux_tot, (bc, data, norm)), g_aux = (
+                            jax.value_and_grad(aux_loss, has_aux=True)(
+                                params))
+                        total = total + aux_tot
+                        grads = jax.tree_util.tree_map(
+                            jnp.add, grads, g_aux
+                        )
+                        metrics = {"pde": pde, "bc": bc, "data": data,
+                                   "norm": norm}
+                    return (total, metrics), grads
+
+                return lag_fn
+        else:
+            make_lag_fn = None
+
+        def phase_args(dtype):
+            """(loss_fn, extra fit kwargs) for one precision phase — the
+            fused kernel carries the f32 and kernel-bf16 phases; bf16
+            stream phases ride the XLA path as before."""
+            if use_fused and dtype in ("float32", "kernel-bf16"):
+                return None, {"loss_and_grad_fn": make_lag_fn(dtype)}
+            return make_loss_fn(dtype), {}
+
         if cfg.compute_dtype in ("hybrid", "hybrid-kernel"):
             # bf16 bulk phase (2x step throughput) then an exact-f32 tail:
             # gets bf16's speed with f32's final accuracy.  The f32 phase
@@ -326,23 +421,28 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                           else "bfloat16")
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
             tail = cfg.epochs - bulk
+            lf_b, kw_b = phase_args(bulk_dtype)
             r1 = fit(
-                make_loss_fn(bulk_dtype), eval_fn, params,
+                lf_b, eval_fn, params,
                 epochs=bulk, optimizer=optimizer, key=k_train, chunk=chunk,
+                **kw_b,
             )
+            lf_t, kw_t = phase_args("float32")
             result = fit(
-                make_loss_fn("float32"), eval_fn, params,
+                lf_t, eval_fn, params,
                 epochs=tail, optimizer=optimizer, key=k_train,
                 chunk=chunk, start_epoch=bulk, init_carry=r1.carry,
+                **kw_t,
             )
             hist = {k: np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
             result = result._replace(history=hist)
         else:
+            lf, kw0 = phase_args(cfg.compute_dtype)
             result = fit(
-                make_loss_fn(cfg.compute_dtype), eval_fn, params,
+                lf, eval_fn, params,
                 epochs=cfg.epochs, optimizer=optimizer, key=k_train,
-                chunk=chunk,
+                chunk=chunk, **kw0,
             )
     else:  # WAN
         critic = _critic_model(cfg)

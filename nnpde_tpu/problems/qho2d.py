@@ -74,6 +74,11 @@ class QHO2DConfig:
     lr_schedule: str = "constant"   # constant | cosine | exponential
     chunk: int = 500
     weights: Optional[Dict[str, float]] = None   # override the weight table
+    # 'xla' | 'pallas' | 'pallas-fused' (PINN only): 'pallas-fused' runs the
+    # one-pass fused loss+grad kernel (kernels/fused_step.py) on the strong
+    # residual -1/2 lap u + (V - E) u; with trainable_energy the dL/dE seed
+    # comes from the kernel's extra-output lane (sum r*u).
+    jet_impl: str = "xla"
 
 
 def _factor(technique: str, nx: int, ny: int, L: float):
@@ -114,6 +119,13 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             "trainable_energy requires method='PINN' (QHO_2D_Energy.py "
             "trains E through the strong residual) — a DRM/WAN run would "
             "silently train with the fixed exact E"
+        )
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(kernels/fused_step.py) — PINN only"
         )
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
 
@@ -211,7 +223,10 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         def loss_fn(params, key):
             net_p = params["net"]
             if cfg.method == "PINN":
-                jet = u_model.fields(net_p, X)
+                jet = u_model.fields(
+                    net_p, X,
+                    impl="pallas" if cfg.jet_impl == "pallas" else "xla",
+                )
                 u = jet.value
                 E_use = params["E"] if use_E_param else E_exact
                 pde = pinn_schrodinger(u, jet.lap, V, E_use)
@@ -230,6 +245,53 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
 
         def eval_fn(params, key):
             return eval_fn_net(params["net"])
+
+        if cfg.jet_impl == "pallas-fused":
+            # One-pass fused loss+grad kernel on the strong residual
+            # r = -1/2 lap u + (V - E) u with u = B*net — coefficients from
+            # the (fixed) window-factor jet, rebuilt per step only through
+            # the (possibly trainable) E scalar.  Replaces QHO_2D.py:363-378
+            # / QHO_2D_Energy.py:382's per-direction autograd Hessians.
+            from ..kernels import fused_linear_residual, residual_coefficients
+
+            fj = u_model.factor.jet(X)
+
+            def lag_fn(params, key):
+                E_use = params["E"] if use_E_param else E_exact
+                coef = residual_coefficients(
+                    fj, a0=-0.5, c0=V - E_use, e_lane=use_E_param
+                )
+                pde, kaux, g_pde = fused_linear_residual(
+                    params["net"], X, coef, u_model.spec.activation
+                )
+
+                def aux_loss(p):
+                    u = u_model.apply_batch(p["net"], X)
+                    terms = shared_terms(p["net"], u)
+                    return sum(w[k] * terms[k] for k in terms), terms
+
+                (aux_tot, terms), g_aux = jax.value_and_grad(
+                    aux_loss, has_aux=True
+                )(params)
+                total = w["pde"] * pde + aux_tot
+                grads = {"net": jax.tree_util.tree_map(
+                    lambda a, b: w["pde"] * a + b, g_pde, g_aux["net"]
+                )}
+                metrics = {"pde": pde, "drm": jnp.asarray(0.0),
+                           "norm": jnp.asarray(0.0)}
+                metrics.update(terms)
+                if use_E_param:
+                    # dr/dE = -u  =>  dL/dE = -(2 w_pde / N) sum r*u — the
+                    # kernel's extra-output lane (e = B)
+                    grads["E"] = (
+                        -2.0 * w["pde"] / kaux["n"]
+                    ) * kaux["sum_r_ufull"]
+                    metrics["E"] = params["E"]
+                return (total, metrics), grads
+
+            fit_kwargs = {"loss_and_grad_fn": lag_fn}
+        else:
+            fit_kwargs = {}
 
         optimizer = make_optimizer(
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs
@@ -257,6 +319,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             loss_fn, eval_fn, params,
             epochs=cfg.epochs, optimizer=optimizer,
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            **fit_kwargs,
         )
         if cfg.LBFGS:
             polished, _ = lbfgs_polish(

@@ -143,6 +143,7 @@ def fit(
     init_carry=None,
     start_epoch: int = 0,
     compile_only: bool = False,
+    loss_and_grad_fn: Optional[Callable] = None,
 ) -> FitResult:
     """``init_carry``/``start_epoch`` resume a run from a previous
     ``FitResult.carry`` (checkpoint/resume — the reference can only
@@ -150,6 +151,11 @@ def fit(
 
     ``compile_only=True`` lowers+compiles one scan chunk and returns its
     memory-analysis dict instead of training (see :func:`_compile_probe`).
+
+    ``loss_and_grad_fn``: optional ``(params, key) -> ((loss, metrics),
+    grads)`` replacing ``jax.value_and_grad(loss_fn)`` — the hook for
+    fused loss+gradient kernels (:mod:`nnpde_tpu.kernels.fused_step`)
+    that produce both in one pass.  ``loss_fn`` is ignored when given.
     """
     enable_compilation_cache()
     opt_state = optimizer.init(params)
@@ -158,9 +164,12 @@ def fit(
         params, opt_state, best_m, best_p, best_e = carry
         epoch, k = inputs
         with jax.default_matmul_precision("highest"):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, k
-            )
+            if loss_and_grad_fn is not None:
+                (loss, metrics), grads = loss_and_grad_fn(params, k)
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, k)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             m = eval_fn(params, jax.random.fold_in(k, 0x5EED))

@@ -1,0 +1,206 @@
+"""Fused loss+grad kernel vs the XLA autodiff oracle.
+
+The fused kernel computes ``w * mean(r^2)`` (r linear in the net jet) and
+its parameter gradients in one pass; the oracle builds the same loss from
+:func:`nnpde_tpu.ops.fwdlap.mlp_fwdlap` and differentiates with
+``jax.value_and_grad``.  Interpreter mode off-TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpde_tpu.kernels.fused_step import (
+    fused_linear_residual,
+    residual_coefficients,
+)
+from nnpde_tpu.models import NetSpec, SolutionModel, factor_for_technique
+from nnpde_tpu.ops.fwdlap import mlp_fwdlap
+
+
+def _rand_coef(key, N, d):
+    return jax.random.normal(key, (N, d + 4), jnp.float32)
+
+
+def _oracle(params, X, coef, activation, weight):
+    d = X.shape[1]
+    jet = mlp_fwdlap(params, X, activation)
+    r = (coef[:, 0] * jet.value
+         + jnp.sum(coef[:, 1:1 + d] * jet.grad, axis=1)
+         + coef[:, d + 1] * jet.lap
+         + coef[:, d + 2])
+    return weight * jnp.mean(r ** 2)
+
+
+def _tree_rel_err(a, b):
+    num = sum(float(jnp.sum((x - y) ** 2))
+              for x, y in zip(jax.tree_util.tree_leaves(a),
+                              jax.tree_util.tree_leaves(b)))
+    den = sum(float(jnp.sum(y ** 2)) for y in jax.tree_util.tree_leaves(b))
+    return (num / max(den, 1e-30)) ** 0.5
+
+
+@pytest.mark.parametrize("d,width,act,lane_pack", [
+    (1, 16, "sin", 1),
+    (2, 16, "tanh", 1),
+    (2, 16, "sin", 2),
+    (3, 32, "sin", 2),
+    (5, 16, "sin", 1),
+    (7, 16, "sin", 2),   # no input-dim cap (unlike the pallas2 forward)
+])
+def test_fused_matches_oracle(d, width, act, lane_pack):
+    key = jax.random.PRNGKey(d * 131 + width)
+    spec = NetSpec((d, width, width, width, 1), activation=act)
+    model = SolutionModel(spec)
+    params = model.init(key)
+    N = 300                                  # non-multiple of tile -> pads
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (N, d), maxval=1.5)
+    coef = _rand_coef(jax.random.fold_in(key, 2), N, d)
+    w = 7.0
+
+    loss, aux, grads = fused_linear_residual(
+        params, X, coef, act, weight=w, bwd_tile=128, lane_pack=lane_pack,
+        interpret=True,
+    )
+    loss_o, grads_o = jax.value_and_grad(_oracle)(params, X, coef, act, w)
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - float(loss_o)) <= 1e-5 * max(
+        abs(float(loss_o)), 1e-8)
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+    assert aux["n"] == N
+
+
+def test_extra_output_lane_accumulates_r_u():
+    """Lane e: sum r*e*value (the trainable-E gradient seed)."""
+    d, width, act = 2, 16, "sin"
+    key = jax.random.PRNGKey(0)
+    model = SolutionModel(NetSpec((d, width, width, 1), activation=act))
+    params = model.init(key)
+    N = 200
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (N, d), maxval=1.0)
+    coef = _rand_coef(jax.random.fold_in(key, 2), N, d)
+
+    _, aux, _ = fused_linear_residual(
+        params, X, coef, act, bwd_tile=128, interpret=True)
+    jet = mlp_fwdlap(params, X, act)
+    r = (coef[:, 0] * jet.value
+         + jnp.sum(coef[:, 1:1 + d] * jet.grad, axis=1)
+         + coef[:, d + 1] * jet.lap + coef[:, d + 2])
+    want = float(jnp.sum(r * coef[:, d + 3] * jet.value))
+    assert abs(float(aux["sum_r_ufull"]) - want) <= 1e-4 * max(
+        abs(want), 1e-6)
+
+
+@pytest.mark.parametrize("op", ["poisson", "helmholtz", "schrodinger"])
+def test_residual_coefficients_match_full_solution(op):
+    """coef built from the factor jet reproduces the composed-solution
+    residual: r == a0*lap(B*net) + b0.grad(B*net) + c0*(B*net) + rhs."""
+    d, L = 2, 2.0
+    key = jax.random.PRNGKey(3)
+    model = SolutionModel(
+        NetSpec((d, 16, 16, 1), activation="sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=L),
+    )
+    params = model.init(key)
+    N = 150
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (N, d), maxval=L)
+    fj = model.factor.jet(X)
+    if op == "poisson":                       # -lap u - f  (Poisson_ND.py:91)
+        rhs = jnp.sin(X[:, 0])
+        coef = residual_coefficients(fj, a0=-1.0, rhs=-rhs)
+        a0, b0, c0 = -1.0, None, None
+    elif op == "helmholtz":                   # lap u + k^2 u
+        coef = residual_coefficients(fj, a0=1.0, c0=4.0)
+        a0, b0, c0, rhs = 1.0, None, 4.0, None
+    else:                                     # -1/2 lap u + (V-E) u
+        V = 0.5 * jnp.sum(X ** 2, axis=1)
+        coef = residual_coefficients(fj, a0=-0.5, c0=V - 1.5, e_lane=True)
+        a0, b0, c0, rhs = -0.5, None, V - 1.5, None
+
+    loss, _, grads = fused_linear_residual(
+        params, X, coef, "sin", weight=3.0, bwd_tile=128, interpret=True)
+
+    def oracle(p):
+        jet = model.fields(p, X)              # composed B*net jet
+        r = a0 * jet.lap
+        if c0 is not None:
+            r = r + c0 * jet.value
+        if op == "poisson":
+            r = r - jnp.sin(X[:, 0])
+        return 3.0 * jnp.mean(r ** 2)
+
+    loss_o, grads_o = jax.value_and_grad(oracle)(params)
+    assert abs(float(loss) - float(loss_o)) <= 1e-5 * max(
+        abs(float(loss_o)), 1e-8)
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+
+
+def test_poisson_trains_with_fused_step():
+    """jet_impl='pallas-fused' (one-pass fused loss+grad kernel, interpret
+    mode on CPU) must train the 1D Poisson PINN like the XLA path — same
+    loss definition, same optimizer trajectory up to fp ordering."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=1, epochs=150, n_interior=256, chunk=75,
+                width=16, depth=3, seed=0)
+    a = train_poisson_nd(PoissonConfig(jet_impl="xla", **base))
+    b = train_poisson_nd(PoissonConfig(jet_impl="pallas-fused", **base))
+    assert np.isfinite(b["rel_l2"])
+    assert b["rel_l2"] < 2.0 * a["rel_l2"] + 1e-3
+    # same loss definition: first-epoch totals agree tightly
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+
+
+def test_qho2d_fused_matches_xla_including_trainable_E():
+    """QHO-2D PINN with jet_impl='pallas-fused': same first-epoch loss as
+    the XLA path and a correct in-kernel dL/dE (extra-output lane)."""
+    from nnpde_tpu.problems.qho2d import QHO2DConfig, train_qho_2d
+
+    base = dict(nx=1, ny=0, epochs=40, grid_n=24, data_grid_n=8,
+                n_boundary=16, layers=(2, 16, 16, 1), chunk=20,
+                trainable_energy=True, energy_variant=True, seed=0)
+    a = train_qho_2d(QHO2DConfig(jet_impl="xla", **base))
+    b = train_qho_2d(QHO2DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(b["history"]["E"], a["history"]["E"],
+                               rtol=1e-3)
+    assert np.isfinite(b["L2_error"])
+
+
+def test_qho2d_fused_rejects_non_pinn():
+    from nnpde_tpu.problems.qho2d import QHO2DConfig, train_qho_2d
+
+    with pytest.raises(ValueError, match="PINN only"):
+        train_qho_2d(QHO2DConfig(method="DRM", jet_impl="pallas-fused"))
+
+
+def test_ipw2d_fused_matches_xla():
+    """IPW-2D PINN (Helmholtz residual) with jet_impl='pallas-fused'."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    base = dict(nx=1, ny=1, epochs=40, grid_n=24, data_grid_n=8,
+                n_boundary=16, layers=(2, 16, 16, 1), chunk=20,
+                weights={"data": 1e4}, seed=0)
+    a = train_ipw_2d(IPW2DConfig(jet_impl="xla", **base))
+    b = train_ipw_2d(IPW2DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    assert np.isfinite(b["rel_l2"])
+    with pytest.raises(ValueError, match="PINN only"):
+        train_ipw_2d(IPW2DConfig(method="DRM", jet_impl="pallas-fused"))
+
+
+def test_poisson_fused_rb_and_resample():
+    """Fused path with a soft-BC (RB) aux term and per-epoch resampling:
+    aux grads ride plain autodiff and add onto the fused pde grads."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    out = train_poisson_nd(PoissonConfig(
+        dim=1, epochs=60, n_interior=128, chunk=30, width=16, depth=3,
+        bc_mode="RB", resample=True, jet_impl="pallas-fused", seed=0,
+    ))
+    assert np.isfinite(out["rel_l2"])
+    assert out["history"]["bc"].shape == (60,)
