@@ -121,14 +121,27 @@ def main(all_devices: bool = False, batch: int | None = None,
         )
 
         coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+        if all_devices:
+            # pallas_call does not auto-partition under GSPMD — run the
+            # kernel per-shard via the explicit shard_map step (pmean'd
+            # loss/grads; exact for equal shards)
+            from nnpde_tpu.parallel.mesh import fused_residual_step
+
+            coef = shard_batch(coef, mesh)
+            fused_sharded = fused_residual_step(mesh, "sin")
+        else:
+            fused_sharded = None
 
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
             if use_fused:
-                loss, _, grads = fused_linear_residual(
-                    params, X, coef, "sin"
-                )
+                if fused_sharded is not None:
+                    loss, _, grads = fused_sharded(params, X, coef)
+                else:
+                    loss, _, grads = fused_linear_residual(
+                        params, X, coef, "sin"
+                    )
             else:
 
                 def loss_fn(p):

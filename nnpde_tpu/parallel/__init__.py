@@ -8,5 +8,6 @@ from .mesh import (
     shard_batch,
     replicate,
     psum_mean_step,
+    fused_residual_step,
     tp_shard_mlp,
 )

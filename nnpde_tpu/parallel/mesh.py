@@ -179,3 +179,46 @@ def psum_mean_step(loss_fn, mesh: Mesh, axis: str = "data"):
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
     )
+
+
+def fused_residual_step(mesh: Mesh, activation: str, axis: str = "data",
+                        **kernel_kw):
+    """Data-parallel one-pass fused loss+grad kernel via ``shard_map``.
+
+    The fused kernel (:func:`nnpde_tpu.kernels.fused_linear_residual`)
+    produces loss AND gradients itself, so (unlike :func:`psum_mean_step`)
+    there is no autodiff transpose to ride — each shard runs the kernel on
+    its batch/coefficient shard and the results are reduced explicitly:
+    ``pmean`` for loss/grads (exact for equal shards, same argument as
+    psum_mean_step), ``psum`` for the raw accumulator sums (``sum_r2``,
+    ``sum_r_ufull`` — the trainable-E seed scales by total N outside).
+
+    Returns ``step(params, X, coef) -> (loss, aux, grads)`` to be called
+    under ``jit`` on a mesh-sharded (X, coef) with replicated params.
+    """
+    from ..kernels import fused_linear_residual
+
+    def local(params, X, coef):
+        loss, aux, grads = fused_linear_residual(
+            params, X, coef, activation, **kernel_kw
+        )
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axis), grads
+        )
+        sums = {
+            "sum_r2": jax.lax.psum(aux["sum_r2"], axis),
+            "sum_r_ufull": jax.lax.psum(aux["sum_r_ufull"], axis),
+        }
+        return loss, sums, grads
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so shard_map's vma checker rejects it; the collectives
+    # above make every output mesh-invariant by construction.
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )

@@ -229,3 +229,34 @@ def test_dcn_training_converges(setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.all(np.isfinite(losses))
+
+
+def test_fused_residual_step_matches_single_device(setup):
+    """shard_map-wrapped fused kernel (pmean'd loss/grads) == unsharded
+    fused call == the autodiff oracle, on the 8-device virtual mesh."""
+    from nnpde_tpu.kernels import (
+        fused_linear_residual, residual_coefficients,
+    )
+    from nnpde_tpu.parallel import fused_residual_step
+
+    model, params, X, f, loss_fn = setup
+    coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+
+    lo, _, go = fused_linear_residual(params, X, coef, "sin", bwd_tile=64)
+
+    mesh = make_mesh()
+    Xs = shard_batch(X, mesh)
+    cs = shard_batch(coef, mesh)
+    ps = replicate(params, mesh)
+    step = jax.jit(fused_residual_step(mesh, "sin", bwd_tile=64))
+    ls, sums, gs = step(ps, Xs, cs)
+
+    np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
+    for (aw, ab), (bw, bb) in zip(gs, go):
+        np.testing.assert_allclose(np.asarray(aw), np.asarray(bw),
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-8)
+    # psum'd raw sum: w=1, N points => sum_r2 == N * loss
+    np.testing.assert_allclose(float(sums["sum_r2"]), float(lo) * X.shape[0],
+                               rtol=1e-6)
