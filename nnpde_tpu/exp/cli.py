@@ -236,6 +236,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-fraction", type=float, default=0.5)
     p.add_argument("--max-data-points", type=int, default=500)
     p.add_argument("--v-steps", type=int, default=3)
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
+                   help="pallas-fused = one-pass fused loss+grad kernel "
+                        "with in-kernel dL/dE (PINN runs; DRM/WAN fall "
+                        "back to xla)")
     _add_common(p, epochs=10000)
 
     p = sub.add_parser(
@@ -409,6 +414,7 @@ def _dispatch(args) -> int:
             train_n=args.train_n, methods=tuple(args.methods),
             technique=args.technique, data_fraction=args.data_fraction,
             max_data_points=args.max_data_points, v_steps=args.v_steps,
+            jet_impl=args.jet_impl,
             save_dir=args.save_dir or "results/KH_1D_Unified",
             epochs=args.epochs, lr=args.lr, seed=args.seed,
             **({"chunk": args.chunk} if args.chunk else {}),

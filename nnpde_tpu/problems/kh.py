@@ -64,6 +64,10 @@ class KHConfig:
     train_n: int = 1024
     seed: int = 0
     chunk: int = 1000
+    # 'xla' | 'pallas' | 'pallas-fused' (PINN only): 'pallas-fused' = the
+    # one-pass fused loss+grad kernel on r = -1/2 lap u + (V - E) u with
+    # the in-kernel dL/dE lane (kernels/fused_step.py)
+    jet_impl: str = "xla"
 
 
 def _u_model(cfg: KHConfig, L: float) -> SolutionModel:
@@ -75,6 +79,13 @@ def _u_model(cfg: KHConfig, L: float) -> SolutionModel:
 def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN' | 'DRM' | 'WAN'")
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(kernels/fused_step.py) — PINN only"
+        )
     L = gt.L
     n = cfg.n
     model = _u_model(cfg, L)
@@ -131,7 +142,10 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
         def loss_fn(params, key):
             net_p = params["net"]
             if cfg.method == "PINN":
-                jet = model.fields(net_p, X)
+                jet = model.fields(
+                    net_p, X,
+                    impl="pallas" if cfg.jet_impl == "pallas" else "xla",
+                )
                 u = jet.value
                 r = -0.5 * jet.lap + V_train * u - params["E"] * u
                 core = jnp.mean(r**2)
@@ -154,10 +168,64 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
                 "bc": bc, "parity": parity, "E": E_tracked,
             }
 
+        if cfg.jet_impl == "pallas-fused":
+            # One-pass fused loss+grad kernel on r = -1/2 lap u + (V - E) u
+            # with u = B*net (B = exp window, or 1 for RAW); coefficients
+            # rebuilt per step only through the trainable E; dL/dE from the
+            # kernel's extra-output lane.  Replaces KH_1D.py:226-234's
+            # chained autograd.grad pair per step.
+            from ..kernels import fused_linear_residual, residual_coefficients
+            from ..ops.fwdlap import constant_jet
+
+            fj = (model.factor.jet(X) if model.factor is not None
+                  else constant_jet(jnp.ones(X.shape[0], X.dtype), 1))
+
+            def lag_fn(params, key):
+                coef = residual_coefficients(
+                    fj, a0=-0.5, c0=V_train - params["E"], e_lane=True
+                )
+                core, kaux, g_pde = fused_linear_residual(
+                    params["net"], X, coef, model.spec.activation
+                )
+
+                def aux_loss(p):
+                    u = model.apply_batch(p["net"], X)
+                    data, orth, bc, parity = common_terms(p["net"], u)
+                    norm_pen = norm_integral(u, 2.0 * L)
+                    tot = (
+                        cfg.lambda_data * data + cfg.lambda_orth * orth
+                        + cfg.lambda_norm * norm_pen + cfg.lambda_bc * bc
+                        + cfg.lambda_parity * parity
+                    )
+                    return tot, (data, orth, bc, parity, norm_pen)
+
+                (aux_tot, (data, orth, bc, parity, norm_pen)), g_aux = (
+                    jax.value_and_grad(aux_loss, has_aux=True)(params)
+                )
+                total = cfg.lambda_pde * core + aux_tot
+                grads = {
+                    "net": jax.tree_util.tree_map(
+                        lambda a, b: cfg.lambda_pde * a + b,
+                        g_pde, g_aux["net"],
+                    ),
+                    # dr/dE = -u  =>  dL/dE = -(2 lambda_pde / N) sum r*u
+                    "E": (-2.0 * cfg.lambda_pde / kaux["n"])
+                    * kaux["sum_r_ufull"] + g_aux["E"],
+                }
+                metrics = {"pde": core, "data": data, "orth": orth,
+                           "norm": norm_pen, "bc": bc, "parity": parity,
+                           "E": params["E"]}
+                return (total, metrics), grads
+
+            fit_kwargs = {"loss_and_grad_fn": lag_fn}
+        else:
+            fit_kwargs = {}
+
         result = fit(
             loss_fn, eval_fn, u_params,
             epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            **fit_kwargs,
         )
     else:  # WAN
         v_model = SolutionModel(NetSpec(tuple(cfg.v_layers), activation="sin"))
@@ -250,6 +318,7 @@ class KHCompareConfig:
     data_fraction: float = 0.25
     max_data_points: Optional[int] = 128
     methods: Tuple[str, ...] = ("PINN", "DRM", "WAN")
+    jet_impl: str = "xla"              # pallas-fused applies to PINN runs
     save_dir: Optional[str] = None
     results_filename: str = "results_KH_1D_unified.json"
     seed: int = 0
@@ -280,6 +349,8 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
                 max_data_points=cfg.max_data_points,
                 v_layers=cfg.v_layers, v_steps=cfg.v_steps,
                 train_n=cfg.train_n, seed=cfg.seed, chunk=cfg.chunk,
+                jet_impl=(cfg.jet_impl if method == "PINN"
+                          or cfg.jet_impl != "pallas-fused" else "xla"),
             )
             res = train_kh(run_cfg, gt, x_train=x_train)
             elapsed = time.time() - t0

@@ -193,6 +193,22 @@ def test_ipw2d_fused_matches_xla():
         train_ipw_2d(IPW2DConfig(method="DRM", jet_impl="pallas-fused"))
 
 
+def test_kh_fused_matches_xla_with_trainable_E():
+    """KH PINN with jet_impl='pallas-fused': fused loss + in-kernel dL/dE
+    track the XLA autodiff path (E is a trainable leaf, KH_1D.py:217)."""
+    from nnpde_tpu.pde import kh as khphys
+    from nnpde_tpu.problems.kh import KHConfig, train_kh
+
+    gt = khphys.KHGroundTruth(alpha=2.0, L=20.0, N=400, n_levels=2)
+    base = dict(method="PINN", n=0, technique="FBC", epochs=40,
+                layers=(1, 16, 16, 1), train_n=128, chunk=20, seed=0)
+    a = train_kh(KHConfig(jet_impl="xla", **base), gt)
+    b = train_kh(KHConfig(jet_impl="pallas-fused", **base), gt)
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(b["E_track"], a["E_track"], rtol=1e-3)
+
+
 def test_poisson_fused_rb_and_resample():
     """Fused path with a soft-BC (RB) aux term and per-epoch resampling:
     aux grads ride plain autodiff and add onto the fused pde grads."""
