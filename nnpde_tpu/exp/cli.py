@@ -94,6 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--technique", choices=["BC", "FBC", "FN", "OG"], default="FN")
     p.add_argument("--layers", type=_int_list, default=[1, 50, 50, 50, 1])
     p.add_argument("--lbfgs", action="store_true")
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla")
     _add_common(p, epochs=3000)
 
     p = sub.add_parser("ipw1d-wan", help="1D infinite well via WAN")
@@ -165,6 +167,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replace = L-BFGS instead of Adam (the reference's "
                         "QHO-1D mode, QHO_1D_PINN_DRM.py:437-439)")
     p.add_argument("--lbfgs-iters", type=int, default=500)
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla")
     _add_common(p, epochs=3000)
 
     p = sub.add_parser("qho1d-wan", help="1D QHO via WAN (trainable energy)")
@@ -319,7 +323,7 @@ def _dispatch(args) -> int:
 
         cfg = IPW1DConfig(n=args.n, L=args.L, method=args.method,
                           technique=args.technique, layers=tuple(args.layers),
-                          LBFGS=args.lbfgs, **kw)
+                          LBFGS=args.lbfgs, jet_impl=args.jet_impl, **kw)
         out = run_ipw_1d(cfg, **_sd(args, "results/Infinite_Potential_Well_1D"))
     elif args.cmd == "ipw1d-wan":
         from ..problems.ipw import IPW1DWanConfig
@@ -353,7 +357,8 @@ def _dispatch(args) -> int:
         cfg = QHO1DConfig(n=args.n, x_max=args.x_max, method=args.method,
                           technique=args.technique, layers=tuple(args.layers),
                           LBFGS=args.lbfgs, lbfgs_mode=args.lbfgs_mode,
-                          lbfgs_iters=args.lbfgs_iters, **kw)
+                          lbfgs_iters=args.lbfgs_iters,
+                          jet_impl=args.jet_impl, **kw)
         out = run_qho_1d(cfg, **_sd(args, "results/Quantum_Harmonic_Oscillator_1D"))
     elif args.cmd == "qho1d-wan":
         from ..problems.qho import QHO1DWanConfig

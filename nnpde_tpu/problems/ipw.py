@@ -50,6 +50,8 @@ class IPW1DConfig:
     data_stride: int = 10
     seed: int = 0
     chunk: int = 1000
+    # 'xla' | 'pallas' | 'pallas-fused' (PINN only; kernels/fused_step.py)
+    jet_impl: str = "xla"
 
 
 def _make_model(layers, technique, n, L) -> SolutionModel:
@@ -74,6 +76,13 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
     """PINN/DRM on the 1D well — IPW_1D_PINN_DRM.py:105-248 semantics."""
     if cfg.method not in ("PINN", "DRM"):
         raise ValueError("method must be 'PINN' or 'DRM'")
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(kernels/fused_step.py) — PINN only"
+        )
     if cfg.technique not in ("BC", "FBC", "FN", "OG"):
         raise ValueError(
             f"Unknown technique: {cfg.technique}. Choose 'BC', 'FBC', 'FN', or 'OG'."
@@ -106,7 +115,10 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         # compute only the active method's operator: the fused jet (with its
         # backward) for PINN, the cheaper value+grad for DRM
         if w["pde"] > 0:
-            jet = model.fields(params, x_grid)
+            jet = model.fields(
+                params, x_grid,
+                impl="pallas" if cfg.jet_impl == "pallas" else "xla",
+            )
             u, g = jet.value, jet.grad
             pde = pinn_helmholtz(u, jet.lap, k_squared)
             drm = jnp.asarray(0.0)
@@ -134,10 +146,51 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         u = model.apply_batch(params, x_grid)
         return jnp.mean((u - u_exact) ** 2)
 
+    if cfg.jet_impl == "pallas-fused":
+        # one-pass fused loss+grad on r = lap u + k^2 u (u = B*net, or the
+        # raw net for technique 'BC'); aux terms ride plain autodiff
+        from ..kernels import fused_linear_residual, residual_coefficients
+        from ..ops.fwdlap import constant_jet
+
+        fj = (model.factor.jet(x_grid) if model.factor is not None
+              else constant_jet(jnp.ones(x_grid.shape[0], x_grid.dtype), 1))
+        coef_fused = residual_coefficients(fj, a0=1.0, c0=k_squared)
+
+        def lag_fn(params, key):
+            pde, _, g_pde = fused_linear_residual(
+                params, x_grid, coef_fused, model.spec.activation
+            )
+
+            def aux_loss(p):
+                u = model.apply_batch(p, x_grid)
+                terms = {
+                    "data": data_mse(model.apply_batch(p, x_data), u_data),
+                    "norm": norm_pointwise(u),
+                    "bc": jnp.mean(model.apply_batch(p, x_bc) ** 2),
+                    "orth": orthogonal_projection(u, lower, L),
+                }
+                return sum(w[k] * terms[k] for k in terms), terms
+
+            (aux_tot, terms), g_aux = jax.value_and_grad(
+                aux_loss, has_aux=True
+            )(params)
+            total = w["pde"] * pde + aux_tot
+            grads = jax.tree_util.tree_map(
+                lambda a, b: w["pde"] * a + b, g_pde, g_aux
+            )
+            metrics = {"pde": pde, "drm": jnp.asarray(0.0)}
+            metrics.update(terms)
+            return (total, metrics), grads
+
+        fit_kwargs = {"loss_and_grad_fn": lag_fn}
+    else:
+        fit_kwargs = {}
+
     result = fit(
         loss_fn, eval_fn, params,
         epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
         key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+        **fit_kwargs,
     )
     if cfg.LBFGS:
         polished, _ = lbfgs_polish(

@@ -75,11 +75,20 @@ class QHO1DConfig:
     data_stride: int = 10
     seed: int = 0
     chunk: int = 1000
+    # 'xla' | 'pallas' | 'pallas-fused' (PINN only; kernels/fused_step.py)
+    jet_impl: str = "xla"
 
 
 def train_qho_1d(cfg: QHO1DConfig) -> Dict:
     if cfg.method not in ("PINN", "DRM"):
         raise ValueError("method must be 'PINN' or 'DRM'")
+    if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
+        raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
+    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+        raise ValueError(
+            "jet_impl='pallas-fused' fuses the strong-form residual loss "
+            "(kernels/fused_step.py) — PINN only"
+        )
     if cfg.technique not in ("BC", "OG", "FN"):
         raise ValueError(
             f"Unknown technique: {cfg.technique}. Choose 'BC', 'OG', or 'FN'."
@@ -120,7 +129,10 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
     def loss_terms(params):
         # compute only the active method's operator (jet for PINN, grad for DRM)
         if w["pde"] > 0:
-            jet = model.fields(params, x_grid)
+            jet = model.fields(
+                params, x_grid,
+                impl="pallas" if cfg.jet_impl == "pallas" else "xla",
+            )
             u, g = jet.value, jet.grad
             pde = pinn_schrodinger(u, jet.lap, V, E)
             drm = jnp.asarray(0.0)
@@ -156,10 +168,55 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
             max_iter=cfg.lbfgs_iters,
         )
     else:
+        if cfg.jet_impl == "pallas-fused":
+            # one-pass fused loss+grad on r = -1/2 lap u + (V - E) u
+            # (fixed exact E, QHO_1D_PINN_DRM.py:173); aux terms on autodiff
+            from ..kernels import fused_linear_residual, residual_coefficients
+            from ..ops.fwdlap import constant_jet
+
+            fj = (model.factor.jet(x_grid) if model.factor is not None
+                  else constant_jet(
+                      jnp.ones(x_grid.shape[0], x_grid.dtype), 1))
+            coef_fused = residual_coefficients(fj, a0=-0.5, c0=V - E)
+
+            def lag_fn(params, key):
+                pde, _, g_pde = fused_linear_residual(
+                    params, x_grid, coef_fused, model.spec.activation
+                )
+
+                def aux_loss(p):
+                    u = model.apply_batch(p, x_grid)
+                    terms = {
+                        "data": data_mse(
+                            model.apply_batch(p, x_data), u_data),
+                        "bc": data_mse(
+                            model.apply_batch(p, x_bc), jnp.zeros((2,))),
+                        "norm": norm_trapezoid(u, dx),
+                        "orth": orthogonal_projection(
+                            u, lower, orth_volume, eps=0.0)
+                        if n > 0 else jnp.asarray(0.0),
+                    }
+                    return sum(w[k] * terms[k] for k in terms), terms
+
+                (aux_tot, terms), g_aux = jax.value_and_grad(
+                    aux_loss, has_aux=True
+                )(params)
+                total = w["pde"] * pde + aux_tot
+                grads = jax.tree_util.tree_map(
+                    lambda a, b: w["pde"] * a + b, g_pde, g_aux
+                )
+                metrics = {"pde": pde, "drm": jnp.asarray(0.0)}
+                metrics.update(terms)
+                return (total, metrics), grads
+
+            fit_kwargs = {"loss_and_grad_fn": lag_fn}
+        else:
+            fit_kwargs = {}
         result = fit(
             loss_fn, eval_fn, params,
             epochs=cfg.epochs, optimizer=optax.adam(cfg.lr),
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            **fit_kwargs,
         )
     if cfg.LBFGS and cfg.lbfgs_mode == "polish":
         # polish from the BEST Adam iterate (round 1 polished the final

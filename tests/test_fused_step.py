@@ -193,6 +193,26 @@ def test_ipw2d_fused_matches_xla():
         train_ipw_2d(IPW2DConfig(method="DRM", jet_impl="pallas-fused"))
 
 
+def test_ipw1d_qho1d_fused_match_xla():
+    """1D presets on the fused path: same first-epoch total as XLA."""
+    from nnpde_tpu.problems.ipw import IPW1DConfig, train_ipw_1d
+    from nnpde_tpu.problems.qho import QHO1DConfig, train_qho_1d
+
+    ib = dict(n=2, method="PINN", technique="BC", epochs=30, grid_n=200,
+              layers=(1, 16, 16, 1), chunk=15, seed=0)
+    a = train_ipw_1d(IPW1DConfig(jet_impl="xla", **ib))
+    b = train_ipw_1d(IPW1DConfig(jet_impl="pallas-fused", **ib))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+
+    qb = dict(n=1, method="PINN", technique="FN", epochs=30, grid_n=200,
+              layers=(1, 16, 16, 1), chunk=15, seed=0)
+    a = train_qho_1d(QHO1DConfig(jet_impl="xla", **qb))
+    b = train_qho_1d(QHO1DConfig(jet_impl="pallas-fused", **qb))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+
+
 def test_kh_fused_matches_xla_with_trainable_E():
     """KH PINN with jet_impl='pallas-fused': fused loss + in-kernel dL/dE
     track the XLA autodiff path (E is a trainable leaf, KH_1D.py:217)."""
