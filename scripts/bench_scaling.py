@@ -52,15 +52,26 @@ def measure(width: int, n: int = 262144, steps: int = 100, depth: int = 5,
         # BENCHMARKS.md width table); 'xla' only off-TPU
         impl = "pallas" if pallas_available() else "xla"
     kernel_opts = kernel_opts or {}
+    if impl == "fused":
+        from nnpde_tpu.kernels import (
+            fused_linear_residual, residual_coefficients,
+        )
+
+        coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
 
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
-            def loss_fn(p):
-                jet = model.fields(p, X, impl=impl, **kernel_opts)
-                return pinn_poisson(jet.lap, f)
+            if impl == "fused":
+                loss, _, grads = fused_linear_residual(
+                    params, X, coef, "sin", **kernel_opts
+                )
+            else:
+                def loss_fn(p):
+                    jet = model.fields(p, X, impl=impl, **kernel_opts)
+                    return pinn_poisson(jet.lap, f)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
@@ -105,6 +116,12 @@ VARIANTS = {
     "bf16full": dict(impl="pallas",
                      kernel_opts={"fwd_impl": "pallas2:default",
                                   "dot_dtype": "bfloat16"}),
+    # one-pass fused loss+grad kernel (kernels/fused_step.py)
+    "fused": dict(impl="fused"),
+    "fused_bf16dots": dict(impl="fused",
+                           kernel_opts={"dot_dtype": "bfloat16"}),
+    "fused_bwd256": dict(impl="fused", kernel_opts={"bwd_tile": 256}),
+    "fused_bwd1024": dict(impl="fused", kernel_opts={"bwd_tile": 1024}),
 }
 
 

@@ -64,11 +64,57 @@ def run(width: int, d: int = 2, depth: int = 5, n: int = 8192):
     return rows
 
 
+def run_fused(width: int, d: int = 2, depth: int = 5, n: int = 8192):
+    """Fused loss+grad kernel vs the XLA autodiff oracle (grad-space A/B:
+    the kernel's outputs are loss and parameter gradients, not jets)."""
+    from nnpde_tpu.kernels import (
+        fused_linear_residual, residual_coefficients,
+    )
+    from nnpde_tpu.models import SolutionModel, factor_for_technique
+
+    L = 2.0
+    model = SolutionModel(
+        NetSpec((d,) + (width,) * (depth - 1) + (1,), activation="sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=L),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (n, d), maxval=L)
+    f = jnp.sin(X[:, 0])
+    coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+
+    def oracle(p):
+        jet = model.fields(p, X, impl="xla")
+        return jnp.mean((-jet.lap - f) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        lo, go = jax.jit(jax.value_and_grad(oracle))(params)
+    rows = []
+    for name, opts in [("fused", {}),
+                       ("fused_bf16dots", {"dot_dtype": "bfloat16"})]:
+        try:
+            with jax.default_matmul_precision("highest"):
+                lf, _, gf = jax.jit(lambda p: fused_linear_residual(
+                    p, X, coef, "sin", **opts))(params)
+            num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+                jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(go)))
+            den = sum(float(jnp.sum(b ** 2))
+                      for b in jax.tree_util.tree_leaves(go))
+            row = {"width": width, "variant": name,
+                   "loss_rel": abs(float(lf) - float(lo))
+                   / max(abs(float(lo)), 1e-30),
+                   "grad_rel": (num / max(den, 1e-30)) ** 0.5}
+        except Exception as e:
+            row = {"width": width, "variant": name, "error": str(e)[:200]}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 if __name__ == "__main__":
     widths = [int(a) for a in sys.argv[1:]] or [64, 128]
     all_rows = json.load(open(OUT)) if os.path.exists(OUT) else []
     for w in widths:
-        new = run(w)
+        new = run(w) + run_fused(w)
         keys = {(r["width"], r["variant"]) for r in new}
         all_rows = [r for r in all_rows
                     if (r.get("width"), r.get("variant")) not in keys]
