@@ -1,2 +1,7 @@
 from .fwdlap_pallas import mlp_fwdlap_pallas, pallas_available
-from .fused_step import fused_linear_residual, residual_coefficients
+from .fused_step import (
+    drm_coefficients,
+    fused_drm_energy,
+    fused_linear_residual,
+    residual_coefficients,
+)

@@ -165,6 +165,100 @@ def _fused_kernel(d, K, T, activation, concat_streams, dot_dtype, packed,
                    dW_refs, dWlast_ref, db_refs)
 
 
+def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
+                      packed, nc, X_ref, *refs):
+    """Deep-Ritz Poisson energy in one pass: ``e_i = 1/2 |grad u|^2 - f u``
+    with ``u = B*net`` (Poisson_ND.py:98-103).
+
+    The energy is QUADRATIC in the net jet, but its cotangents are still
+    per-point functions of the in-kernel projections: with the composed
+    gradient ``G_j = B g_j + dB_j v`` they are ``ct_v = sum_j G_j dB_j -
+    f B``, ``ct_g_j = G_j B``, ``ct_l = 0`` — so the same recompute +
+    reverse-sweep machinery applies (the lap stream rides along unused).
+
+    coef layout per point (``nc = d + 2``): ``[B, dB_0..dB_{d-1}, f]``.
+    Sums: lane 0 = sum e_i, lane 1 = sum ct_v (the blast gradient seed).
+    """
+    n_w = K - 1
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    blast = refs[2 * n_w + 1][...]
+    coef_ref = refs[2 * n_w + 2]
+    out_refs = refs[2 * n_w + 3:]
+    dW_refs = out_refs[:n_w]
+    dWlast_ref = out_refs[n_w]
+    db_refs = out_refs[n_w + 1:2 * n_w + 1]
+    sums_ref = out_refs[2 * n_w + 1]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+
+    prec = jax.lax.Precision.DEFAULT
+    cast = ((lambda x: x.astype(jnp.bfloat16))
+            if dot_dtype == "bfloat16" else (lambda x: x))
+    X = X_ref[0]
+    Ws_c, saved, final = _fwd_recompute(
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+    )
+    _, _, _, _, A, Jmid, lmid = final
+    coef = coef_ref[0]
+
+    if packed:
+        vw = A.shape[1]
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def proj2(S):
+            P = S * wlast_row
+            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
+
+        def cc(i):
+            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
+
+        va, vb = proj2(A)
+        va, vb = va + blast, vb + blast
+        gs = [proj2(Jm) for Jm in Jmid]
+        Ba, Bb = cc(0)
+        fa, fb = cc(d + 1)
+        dBs = [cc(1 + j) for j in range(d)]
+        Ga = [Ba * gs[j][0] + dBs[j][0] * va for j in range(d)]
+        Gb = [Bb * gs[j][1] + dBs[j][1] * vb for j in range(d)]
+        ea = sum(0.5 * G * G for G in Ga) - fa * Ba * va
+        eb = sum(0.5 * G * G for G in Gb) - fb * Bb * vb
+        ctv_a = sum(G * dBs[j][0] for j, G in enumerate(Ga)) - fa * Ba
+        ctv_b = sum(G * dBs[j][1] for j, G in enumerate(Gb)) - fb * Bb
+        s_e = jnp.sum(ea, keepdims=True) + jnp.sum(eb, keepdims=True)
+        s_ctv = jnp.sum(ctv_a, keepdims=True) + jnp.sum(ctv_b, keepdims=True)
+        ct_v = jnp.where(left, ctv_a, ctv_b)
+        ct_g = [jnp.where(left, Ga[j] * Ba, Gb[j] * Bb) for j in range(d)]
+        ct_l = jnp.zeros_like(ct_v)
+    else:
+        value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
+        gs = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
+        B = coef[:, 0:1]
+        f_ = coef[:, d + 1:d + 2]
+        dBs = [coef[:, 1 + j:2 + j] for j in range(d)]
+        G = [B * gs[j] + dBs[j] * value for j in range(d)]
+        e = sum(0.5 * Gj * Gj for Gj in G) - f_ * B * value
+        ct_v = sum(Gj * dBs[j] for j, Gj in enumerate(G)) - f_ * B
+        ct_g = [Gj * B for Gj in G]
+        ct_l = jnp.zeros_like(ct_v)
+        s_e = jnp.sum(e, keepdims=True)
+        s_ctv = jnp.sum(ct_v, keepdims=True)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sums_ref[...] += (jnp.where(lane == 0, s_e.reshape(1, 1), 0.0)
+                      + jnp.where(lane == 1, s_ctv.reshape(1, 1), 0.0))
+    _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
+                   X, Ws_c, wlast_row, saved, final, ct_v, ct_g, ct_l,
+                   dW_refs, dWlast_ref, db_refs)
+
+
 def residual_coefficients(factor_jet, *, c0=None, b0=None, a0=1.0, rhs=None,
                           e_lane=False):
     """Build the (N, d+4) coefficient stream for ``r`` acting on u = B*net.
@@ -198,27 +292,64 @@ def residual_coefficients(factor_jet, *, c0=None, b0=None, a0=1.0, rhs=None,
     )
 
 
-def fused_linear_residual(
+def drm_coefficients(factor_jet, f=None):
+    """(N, d+2) coefficient stream for the fused DRM energy kernel:
+    ``[B, dB_0..dB_{d-1}, f]`` (f = 0 when absent)."""
+    B, gB = factor_jet.value, factor_jet.grad
+    N = B.shape[0]
+    fv = (jnp.zeros((N,), B.dtype) if f is None
+          else jnp.broadcast_to(jnp.asarray(f), (N,)))
+    return jnp.concatenate([B[:, None], gB, fv[:, None]], axis=1)
+
+
+def fused_drm_energy(
     params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     X,
     coef,
     activation: str,
     *,
     weight: float = 1.0,
+    **call_kw,
+):
+    """Fused Deep-Ritz Poisson energy ``loss = weight * mean(1/2 |grad
+    u|^2 - f u)`` AND its parameter gradients, one VMEM pass.
+
+    ``coef``: (N, d+2) from :func:`drm_coefficients`.  Returns ``(loss,
+    aux, grads)`` like :func:`fused_linear_residual`.  (The eigenvalue
+    Rayleigh QUOTIENT is not expressible in one pass — its cotangents
+    need the global numerator/denominator sums — so DRM fusion covers the
+    Poisson energy form only; quotient DRM stays on autodiff.)
+    """
+    dWs, dbs, sums, N = _fused_call(
+        _fused_drm_kernel, activation, params, X, coef, X.shape[1] + 2,
+        **call_kw,
+    )
+    loss = weight * sums[0] / N
+    grads = _scaled_grads(params, dWs, dbs, sums, weight / N)
+    aux = {"sum_e": sums[0], "n": N}
+    return loss, aux, grads
+
+
+def _fused_call(
+    kernel_body,
+    activation: str,
+    params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    X,
+    coef,
+    nc: int,
+    *,
     bwd_tile: int | None = None,
     interpret: bool | None = None,
     concat_streams: bool = True,
     dot_dtype: str = "float32",
     lane_pack: int | None = None,
 ):
-    """Fused ``loss = weight * mean(r^2)`` AND its parameter gradients.
+    """Shared plumbing for the fused kernels: tile selection, padding,
+    2-point lane packing, pallas_call, and dW/db block folding.
 
-    ``coef``: (N, d+4) per-point residual coefficients — see
-    :func:`residual_coefficients` and the module docstring for the layout.
-    Returns ``(loss, aux, grads)`` with ``grads`` matching the params
-    pytree (list of (dW, db)); ``aux['sum_r_ufull'] = sum_i r_i e_i u_i``
-    (the trainable-E seed) and ``aux['n']`` the point count.  X gets no
-    cotangent (collocation data).  Off-TPU runs in interpreter mode.
+    ``kernel_body`` must follow :func:`_fused_kernel`'s signature and ref
+    layout.  Returns ``(dWs, dbs, sums, N)`` with dWs/dbs the UNSCALED
+    accumulated sums and ``sums`` the (128,) accumulator lane vector.
     """
     if interpret is None:
         interpret = not pallas_available()
@@ -226,10 +357,10 @@ def fused_linear_residual(
     bs = [b.reshape(1, -1) for _, b in params]
     d = X.shape[1]
     K = len(Ws)
-    nc = d + 4
     if coef.shape != (X.shape[0], nc):
         raise ValueError(
-            f"coef must be (N, d+4) = ({X.shape[0]}, {nc}), got {coef.shape}"
+            f"coef must be (N, {nc}) = ({X.shape[0]}, {nc}), "
+            f"got {coef.shape}"
         )
     if bwd_tile is None:
         # same auto rule as the recompute backward (fwdlap_pallas)
@@ -271,7 +402,7 @@ def fused_linear_residual(
         b_in = list(bs[:-1])
         T, din, dcoef = tile, d, nc
     blast = bs[-1].reshape(1, 1)
-    kernel = functools.partial(_fused_kernel, d, K, T, activation,
+    kernel = functools.partial(kernel_body, d, K, T, activation,
                                concat_streams, dot_dtype, packed, nc)
     in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
@@ -314,11 +445,42 @@ def fused_linear_residual(
         dWs = list(outs[:K - 1]) + [outs[K - 1].reshape(Ws[-1].shape)]
         dbs = [o.reshape(b.shape[1])
                for o, b in zip(outs[K:2 * K - 1], bs[:-1])]
-    # L = weight/N * sum r^2  =>  dtheta = (2*weight/N) * sum r dr/dtheta
-    scale = 2.0 * weight / N
-    loss = weight * sums[0] / N
+    return dWs, dbs, sums, N
+
+
+def _scaled_grads(params, dWs, dbs, sums, scale):
+    """Assemble the grads pytree: per-point-sum outputs x ``scale``; the
+    last bias gradient rides accumulator lane 1 (= sum of ct_v)."""
     db_last = (scale * sums[1]).reshape(params[-1][1].shape)
     grads = [(scale * dW, scale * db) for dW, db in zip(dWs[:-1], dbs)]
     grads.append((scale * dWs[-1], db_last))
+    return grads
+
+
+def fused_linear_residual(
+    params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    X,
+    coef,
+    activation: str,
+    *,
+    weight: float = 1.0,
+    **call_kw,
+):
+    """Fused ``loss = weight * mean(r^2)`` AND its parameter gradients.
+
+    ``coef``: (N, d+4) per-point residual coefficients — see
+    :func:`residual_coefficients` and the module docstring for the layout.
+    Returns ``(loss, aux, grads)`` with ``grads`` matching the params
+    pytree (list of (dW, db)); ``aux['sum_r_ufull'] = sum_i r_i e_i u_i``
+    (the trainable-E seed) and ``aux['n']`` the point count.  X gets no
+    cotangent (collocation data).  Off-TPU runs in interpreter mode.
+    """
+    dWs, dbs, sums, N = _fused_call(
+        _fused_kernel, activation, params, X, coef, X.shape[1] + 4,
+        **call_kw,
+    )
+    # L = weight/N * sum r^2  =>  dtheta = (2*weight/N) * sum r dr/dtheta
+    loss = weight * sums[0] / N
+    grads = _scaled_grads(params, dWs, dbs, sums, 2.0 * weight / N)
     aux = {"sum_r2": sums[0], "sum_r_ufull": sums[2], "n": N}
     return loss, aux, grads

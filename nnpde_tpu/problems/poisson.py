@@ -172,10 +172,10 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         raise ValueError(
             "jet_impl must be 'xla', 'pallas' or 'pallas-fused'"
         )
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+    if cfg.jet_impl == "pallas-fused" and cfg.method == "WAN":
         raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(see kernels/fused_step.py) — PINN only"
+            "jet_impl='pallas-fused' fuses the PINN residual or the DRM "
+            "energy (kernels/fused_step.py) — not the WAN weak form"
         )
     # Epoch-scan length cap on the pallas jet path.  The round-3 compile-time
     # ladder (artifacts/compile_cliff.json) found NO cliff on this step
@@ -342,8 +342,15 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                     jnp.ones(X_cur.shape[0], X_cur.dtype), cfg.dim
                 )
 
-            coef_fixed = (None if cfg.resample else residual_coefficients(
-                factor_jet_at(X_in), a0=-1.0, rhs=-f_in))
+            from ..kernels import drm_coefficients, fused_drm_energy
+
+            def coef_at(X_cur, f_cur):
+                fj = factor_jet_at(X_cur)
+                if cfg.method == "DRM":
+                    return drm_coefficients(fj, f_cur)
+                return residual_coefficients(fj, a0=-1.0, rhs=-f_cur)
+
+            coef_fixed = (None if cfg.resample else coef_at(X_in, f_in))
             need_aux = (w["bc"] > 0 or w["data"] > 0 or w["norm"] > 0
                         or w["mean"] > 0)
 
@@ -354,13 +361,12 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                 def lag_fn(params, key):
                     if cfg.resample:
                         X_cur = draw_interior(jax.random.fold_in(key, 3))
-                        coef = residual_coefficients(
-                            factor_jet_at(X_cur), a0=-1.0,
-                            rhs=-rhs_f(X_cur, cfg.L, ks),
-                        )
+                        coef = coef_at(X_cur, rhs_f(X_cur, cfg.L, ks))
                     else:
                         X_cur, coef = X_in, coef_fixed
-                    pde, _, g_pde = fused_linear_residual(
+                    fused = (fused_drm_energy if cfg.method == "DRM"
+                             else fused_linear_residual)
+                    pde, _, g_pde = fused(
                         params, X_cur, coef, model.spec.activation,
                         weight=1.0, dot_dtype=dot_dtype,
                     )

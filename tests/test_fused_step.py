@@ -193,6 +193,59 @@ def test_ipw2d_fused_matches_xla():
         train_ipw_2d(IPW2DConfig(method="DRM", jet_impl="pallas-fused"))
 
 
+@pytest.mark.parametrize("lane_pack,technique", [(1, "FBC"), (2, "FBC"),
+                                                 (2, "RB")])
+def test_fused_drm_energy_matches_oracle(lane_pack, technique):
+    """DRM Poisson energy kernel vs autodiff of mean(1/2|grad u|^2 - f u)
+    on the composed solution u = B*net (B = 1 for RB/raw)."""
+    from nnpde_tpu.kernels import drm_coefficients, fused_drm_energy
+    from nnpde_tpu.ops.fwdlap import constant_jet
+
+    d, L = 2, 2.0
+    key = jax.random.PRNGKey(11)
+    factor = (factor_for_technique("FBC", dim=d, kind="box", L=L)
+              if technique == "FBC" else None)
+    model = SolutionModel(NetSpec((d, 16, 16, 16, 1), activation="sin"),
+                          factor)
+    params = model.init(key)
+    N = 300
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (N, d), maxval=L)
+    f = jnp.sin(2.0 * X[:, 0]) * jnp.cos(X[:, 1])
+    fj = (model.factor.jet(X) if model.factor is not None
+          else constant_jet(jnp.ones(N, X.dtype), d))
+    coef = drm_coefficients(fj, f)
+
+    loss, aux, grads = fused_drm_energy(
+        params, X, coef, "sin", weight=5.0, bwd_tile=128,
+        lane_pack=lane_pack, interpret=True)
+
+    def oracle(p):
+        u, g = model.value_and_grad(p, X)
+        return 5.0 * jnp.mean(0.5 * jnp.sum(g * g, axis=1) - f * u)
+
+    loss_o, grads_o = jax.value_and_grad(oracle)(params)
+    assert abs(float(loss) - float(loss_o)) <= 1e-5 * max(
+        abs(float(loss_o)), 1e-8)
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+    assert aux["n"] == N
+
+
+def test_poisson_drm_trains_with_fused_energy():
+    """method='DRM' + jet_impl='pallas-fused' rides the fused energy
+    kernel (incl. per-epoch QMC resampling, the acceptance 5D config's
+    machinery): same first-epoch total as the XLA path."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=2, method="DRM", epochs=100, n_interior=256, chunk=50,
+                width=16, depth=3, resample=True, sampler="sobol",
+                weights={"norm": 1.0}, seed=0)
+    a = train_poisson_nd(PoissonConfig(jet_impl="xla", **base))
+    b = train_poisson_nd(PoissonConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    assert np.isfinite(b["rel_l2"])
+
+
 def test_ipw1d_qho1d_fused_match_xla():
     """1D presets on the fused path: same first-epoch total as XLA."""
     from nnpde_tpu.problems.ipw import IPW1DConfig, train_ipw_1d
