@@ -182,34 +182,35 @@ def psum_mean_step(loss_fn, mesh: Mesh, axis: str = "data"):
 
 
 def fused_residual_step(mesh: Mesh, activation: str, axis: str = "data",
-                        **kernel_kw):
+                        kind: str = "pinn", **kernel_kw):
     """Data-parallel one-pass fused loss+grad kernel via ``shard_map``.
 
-    The fused kernel (:func:`nnpde_tpu.kernels.fused_linear_residual`)
-    produces loss AND gradients itself, so (unlike :func:`psum_mean_step`)
+    The fused kernels (:func:`nnpde_tpu.kernels.fused_linear_residual` /
+    ``fused_drm_energy``, selected by ``kind`` 'pinn' | 'drm') produce
+    loss AND gradients themselves, so (unlike :func:`psum_mean_step`)
     there is no autodiff transpose to ride — each shard runs the kernel on
     its batch/coefficient shard and the results are reduced explicitly:
     ``pmean`` for loss/grads (exact for equal shards, same argument as
-    psum_mean_step), ``psum`` for the raw accumulator sums (``sum_r2``,
-    ``sum_r_ufull`` — the trainable-E seed scales by total N outside).
+    psum_mean_step), ``psum`` for the raw accumulator sums (e.g.
+    ``sum_r_ufull``, the trainable-E seed, scales by total N outside).
 
     Returns ``step(params, X, coef) -> (loss, aux, grads)`` to be called
     under ``jit`` on a mesh-sharded (X, coef) with replicated params.
     """
-    from ..kernels import fused_linear_residual
+    from ..kernels import fused_drm_energy, fused_linear_residual
+
+    if kind not in ("pinn", "drm"):
+        raise ValueError("kind must be 'pinn' or 'drm'")
+    fused = fused_linear_residual if kind == "pinn" else fused_drm_energy
 
     def local(params, X, coef):
-        loss, aux, grads = fused_linear_residual(
-            params, X, coef, activation, **kernel_kw
-        )
+        loss, aux, grads = fused(params, X, coef, activation, **kernel_kw)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, axis), grads
         )
-        sums = {
-            "sum_r2": jax.lax.psum(aux["sum_r2"], axis),
-            "sum_r_ufull": jax.lax.psum(aux["sum_r_ufull"], axis),
-        }
+        sums = {k: jax.lax.psum(v, axis)
+                for k, v in aux.items() if k != "n"}
         return loss, sums, grads
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes

@@ -260,3 +260,24 @@ def test_fused_residual_step_matches_single_device(setup):
     # psum'd raw sum: w=1, N points => sum_r2 == N * loss
     np.testing.assert_allclose(float(sums["sum_r2"]), float(lo) * X.shape[0],
                                rtol=1e-6)
+
+
+def test_fused_drm_step_matches_single_device(setup):
+    """kind='drm' shard_map step == unsharded fused DRM energy call."""
+    from nnpde_tpu.kernels import drm_coefficients, fused_drm_energy
+    from nnpde_tpu.parallel import fused_residual_step
+
+    model, params, X, f, loss_fn = setup
+    coef = drm_coefficients(model.factor.jet(X), f)
+    lo, _, go = fused_drm_energy(params, X, coef, "sin", bwd_tile=64)
+
+    mesh = make_mesh()
+    step = jax.jit(fused_residual_step(mesh, "sin", kind="drm", bwd_tile=64))
+    ls, sums, gs = step(replicate(params, mesh), shard_batch(X, mesh),
+                        shard_batch(coef, mesh))
+    np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
+    for (aw, ab), (bw, bb) in zip(gs, go):
+        np.testing.assert_allclose(np.asarray(aw), np.asarray(bw),
+                                   rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(sums["sum_e"]), float(lo) * X.shape[0],
+                               rtol=1e-6)
