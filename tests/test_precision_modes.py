@@ -125,3 +125,15 @@ def test_hybrid_kernel_mode_trains():
     with pytest.raises(ValueError, match="hybrid-kernel"):
         train_poisson_nd(PoissonConfig(dim=2, method="DRM",
                                        compute_dtype="hybrid-kernel"))
+
+
+def test_hybrid_kernel_mode_on_fused_path():
+    """'hybrid-kernel' x jet_impl='pallas-fused': the fused kernel carries
+    BOTH phases (bf16-dot bulk, f32-dot tail) through the
+    loss_and_grad_fn hook."""
+    out = train_poisson_nd(PoissonConfig(
+        dim=2, method="PINN", bc_mode="FBC", epochs=60, n_interior=256,
+        chunk=30, compute_dtype="hybrid-kernel", jet_impl="pallas-fused",
+        hybrid_bf16_fraction=0.5))
+    assert len(out["history"]["l2"]) == 60
+    assert np.all(np.isfinite(out["history"]["l2"]))
