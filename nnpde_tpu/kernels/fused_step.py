@@ -64,7 +64,8 @@ def _fused_kernel(d, K, T, activation, concat_streams, dot_dtype, packed,
     """Forward recompute -> in-kernel residual -> reverse sweep, one tile.
 
     Inputs: X (1,T,din), W0..W_{K-2}, wlast_row (1,w), b0..b_{K-2} (1,w),
-    blast (1,1), coef (1,T,dcoef).  Under ``packed`` din = 2d, w = 2w,
+    blast (1,128) (lane-broadcast scalar), coef (1,T,dcoef).  Under
+    ``packed`` din = 2d, w = 2w,
     dcoef = 2*nc (point a's nc columns then point b's).
     Outputs (accumulated over the sequential grid): dW0.., dWlast_row,
     db0.., sums (1,128) with lane 0 = sum r^2, lane 1 = sum r*c
@@ -74,7 +75,7 @@ def _fused_kernel(d, K, T, activation, concat_streams, dot_dtype, packed,
     Ws = [refs[i][...] for i in range(n_w)]
     wlast_row = refs[n_w][...]                       # (1, w)
     bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
-    blast = refs[2 * n_w + 1][...]                   # (1, 1)
+    blast = refs[2 * n_w + 1][...][:, 0:1]           # (1, 128) -> (1, 1)
     coef_ref = refs[2 * n_w + 2]                     # (1, T, dcoef)
     out_refs = refs[2 * n_w + 3:]
     dW_refs = out_refs[:n_w]
@@ -183,7 +184,7 @@ def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
     Ws = [refs[i][...] for i in range(n_w)]
     wlast_row = refs[n_w][...]
     bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
-    blast = refs[2 * n_w + 1][...]
+    blast = refs[2 * n_w + 1][...][:, 0:1]           # (1, 128) -> (1, 1)
     coef_ref = refs[2 * n_w + 2]
     out_refs = refs[2 * n_w + 3:]
     dW_refs = out_refs[:n_w]
@@ -401,7 +402,11 @@ def _fused_call(
         W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
         b_in = list(bs[:-1])
         T, din, dcoef = tile, d, nc
-    blast = bs[-1].reshape(1, 1)
+    # lane-pad the scalar last bias to a full vreg row: Mosaic has no
+    # proven (1, 1) block precedent in these kernels (all other refs are
+    # lane-width >= w); every lane carries the same value, kernels read
+    # lane 0
+    blast = jnp.broadcast_to(bs[-1].reshape(1, 1), (1, 128))
     kernel = functools.partial(kernel_body, d, K, T, activation,
                                concat_streams, dot_dtype, packed, nc)
     in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
