@@ -54,6 +54,26 @@ def run_poisson(dim, method, epochs=10000):
     return out
 
 
+def run_poisson_fused_parity(epochs=3000):
+    """Fused one-pass kernel accuracy ON TPU: same config trained on the
+    xla and pallas-fused paths must land within 2x rel-L2 of each other
+    and both under 1e-3 (kernels/fused_step.py; CPU oracle tests pin the
+    math, this row pins the Mosaic-compiled kernel)."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=2, method="PINN", bc_mode="FBC", epochs=epochs,
+                n_interior=20000, chunk=1000)
+    t0 = time.time()
+    a = train_poisson_nd(PoissonConfig(jet_impl="xla", **base))
+    b = train_poisson_nd(PoissonConfig(jet_impl="pallas-fused", **base))
+    record("poisson_2d_pinn_fused_parity", {
+        "rel_l2_xla": a["rel_l2"], "rel_l2_fused": b["rel_l2"],
+        "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+        "target": "fused <= max(2x xla, 1e-3)",
+        "pass": bool(b["rel_l2"] <= max(2.0 * a["rel_l2"], 1e-3)),
+    })
+
+
 def run_ipw2d_n33(method, technique="FN", epochs=20000, weights=None):
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
@@ -363,6 +383,8 @@ if __name__ == "__main__":
         check_qho2d_trainE_ledger()
     if which in ("all", "r2-rqmc"):
         run_poisson_5d_drm_rqmc()
+    if which in ("all", "fused"):
+        run_poisson_fused_parity()
     if which in ("all", "poisson"):
         run_poisson(1, "PINN")
         run_poisson(5, "PINN")
