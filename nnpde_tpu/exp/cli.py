@@ -155,6 +155,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help='JSON weight overrides, e.g. \'{"data": 1e4}\'')
     _add_common(p, epochs=10000)
 
+    p = sub.add_parser(
+        "ipw3d",
+        help="3D infinite well (sampled collocation — beyond the "
+             "reference's 2D meshgrid ceiling)",
+    )
+    p.add_argument("--nx", type=int, default=1)
+    p.add_argument("--ny", type=int, default=1)
+    p.add_argument("--nz", type=int, default=1)
+    p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--method", choices=["PINN", "DRM"], default="PINN")
+    p.add_argument("--technique", choices=["FBC", "FN"], default="FN")
+    p.add_argument("--n-interior", type=int, default=131072)
+    p.add_argument("--sampler", choices=["uniform", "sobol"],
+                   default="sobol")
+    p.add_argument("--no-resample", action="store_true")
+    p.add_argument("--layers", type=_int_list,
+                   default=[3, 64, 64, 64, 64, 1])
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla")
+    _add_common(p, epochs=5000)
+
     p = sub.add_parser("qho1d", help="1D harmonic oscillator (PINN/DRM)")
     p.add_argument("--n", type=int, default=0)
     p.add_argument("--x-max", type=float, default=6.0)
@@ -350,6 +371,22 @@ def _dispatch(args) -> int:
                           v_lr=args.v_lr, u_ema=args.u_ema,
                           LBFGS=args.lbfgs, weights=args.weights, **kw)
         out = run_ipw_2d(cfg, **_sd(args, "results/Infinite_Potential_Well_2D"))
+    elif args.cmd == "ipw3d":
+        import dataclasses as _dc
+
+        from ..problems.ipw3d import IPW3DConfig, train_ipw_3d
+
+        cfg = IPW3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, L=args.L,
+                          method=args.method, technique=args.technique,
+                          n_interior=args.n_interior, sampler=args.sampler,
+                          resample=not args.no_resample,
+                          layers=tuple(args.layers),
+                          jet_impl=args.jet_impl, **kw)
+        out = train_ipw_3d(cfg)
+        print(json.dumps({"rel_l2": out["rel_l2"],
+                          "min_epoch": out["min_epoch"],
+                          "E_exact": out["E_exact"]}))
+        return 0
     elif args.cmd == "qho1d":
         from ..problems.qho import QHO1DConfig
         from .run import run_qho_1d

@@ -36,3 +36,13 @@ def energy_2d(nx: int, ny: int, L: float) -> float:
 def nodes(n: int, L: float) -> List[float]:
     """Interior node positions of psi_n: k L / n, k = 1..n-1."""
     return [k * L / n for k in range(1, n)]
+
+
+def psi_3d(nx: int, ny: int, nz: int, x, y, z, L: float):
+    """Normalised 3D box eigenstate: product of 1D states (separable
+    potential — the 2D construction of IPW_2D.py:69-71 one dimension up)."""
+    return psi_1d(nx, x, L) * psi_1d(ny, y, L) * psi_1d(nz, z, L)
+
+
+def energy_3d(nx: int, ny: int, nz: int, L: float) -> float:
+    return energy_1d(nx, L) + energy_1d(ny, L) + energy_1d(nz, L)

@@ -74,6 +74,24 @@ def run_poisson_fused_parity(epochs=3000):
     })
 
 
+def run_ipw3d(epochs=8000):
+    """3D well (scale superset): n=(2,1,1) FN at full sampled-collocation
+    scale on the fused kernel path."""
+    from nnpde_tpu.problems.ipw3d import IPW3DConfig, train_ipw_3d
+
+    t0 = time.time()
+    out = train_ipw_3d(IPW3DConfig(
+        nx=2, ny=1, nz=1, epochs=epochs, n_interior=131072, chunk=500,
+        jet_impl="pallas-fused",
+    ))
+    record("ipw3d_n211_pinn_fn_fused", {
+        "rel_l2": out["rel_l2"], "best_epoch": out["min_epoch"],
+        "epochs": epochs, "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-2 (superset row)",
+        "pass": bool(out["rel_l2"] <= 1e-2),
+    })
+
+
 def run_ipw2d_n33(method, technique="FN", epochs=20000, weights=None):
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
@@ -385,6 +403,8 @@ if __name__ == "__main__":
         run_poisson_5d_drm_rqmc()
     if which in ("all", "fused"):
         run_poisson_fused_parity()
+    if which in ("all", "ipw3d"):
+        run_ipw3d()
     if which in ("all", "poisson"):
         run_poisson(1, "PINN")
         run_poisson(5, "PINN")
