@@ -376,16 +376,21 @@ def _dispatch(args) -> int:
 
         from ..problems.ipw3d import IPW3DConfig, train_ipw_3d
 
+        from .run import run_ipw_3d
+
         cfg = IPW3DConfig(nx=args.nx, ny=args.ny, nz=args.nz, L=args.L,
                           method=args.method, technique=args.technique,
                           n_interior=args.n_interior, sampler=args.sampler,
                           resample=not args.no_resample,
                           layers=tuple(args.layers),
                           jet_impl=args.jet_impl, **kw)
-        out = train_ipw_3d(cfg)
+        out = run_ipw_3d(
+            cfg, **({"save_dir": args.save_dir} if args.save_dir else {})
+        )
         print(json.dumps({"rel_l2": out["rel_l2"],
                           "min_epoch": out["min_epoch"],
-                          "E_exact": out["E_exact"]}))
+                          "E_exact": out["E_exact"],
+                          "checkpoint": out.get("checkpoint")}))
         return 0
     elif args.cmd == "qho1d":
         from ..problems.qho import QHO1DConfig

@@ -286,6 +286,34 @@ def run_ipw_2d(cfg: IPW2DConfig,
     return out
 
 
+# --------------------------------------------------------------------- 3D IPW
+def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D") -> Dict:
+    from ..problems.ipw3d import train_ipw_3d
+
+    t0 = time.time()
+    out = train_ipw_3d(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"{cfg.method}_{cfg.technique}_n{cfg.nx}_{cfg.ny}_{cfg.nz}_{ts}"
+    meta = {
+        "problem": "ipw_3d", "timestamp": ts, "layers": list(cfg.layers),
+        "activation": "sin", "technique": cfg.technique,
+        "nx": cfg.nx, "ny": cfg.ny, "nz": cfg.nz, "L": cfg.L,
+    }
+    w = out["weights"]
+    extra = {
+        "method": cfg.method, "n": [cfg.nx, cfg.ny, cfg.nz],
+        "epochs": cfg.epochs, "technique": cfg.technique, "time": elapsed,
+        "rel_l2": out["rel_l2"], "jet_impl": cfg.jet_impl,
+        "n_interior": cfg.n_interior, "sampler": cfg.sampler,
+        "weight_pde": w["pde"], "weight_drm": w["drm"],
+        "weight_data": w["data"],
+    }
+    return _persist(out, save_dir=save_dir,
+                    results_file="results_IPW_3D.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
 # --------------------------------------------------------------------- 2D QHO
 def run_qho_2d(cfg: QHO2DConfig,
                save_dir: str = "results/Quantum_Harmonic_Oscillator_2D",
