@@ -309,9 +309,42 @@ def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D") -> Dic
         "weight_pde": w["pde"], "weight_drm": w["drm"],
         "weight_data": w["data"],
     }
-    return _persist(out, save_dir=save_dir,
-                    results_file="results_IPW_3D.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    out = _persist(out, save_dir=save_dir,
+                   results_file="results_IPW_3D.json",
+                   tag=tag, meta=meta, extra_row=extra)
+    return out
+
+
+def plot_ipw_3d_slice(out: Dict, save_dir: str, tag: str, z_frac: float = 0.5,
+                      n: int = 200):
+    """Mid-plane slice u(x, y, z0) vs exact — the 3D run's visual artifact
+    (reuses the 2D heatmap+surface comparison plot)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..pde import ipw as _ipw
+    from .plotting import plot_2d_comparison
+
+    cfg = out["config"]
+    L, z0 = cfg["L"], cfg["L"] * z_frac
+    model = out["model"]
+    g = jnp.linspace(0.0, L, n)
+    GX, GY = jnp.meshgrid(g, g, indexing="ij")
+    pts = jnp.stack([GX.reshape(-1), GY.reshape(-1),
+                     jnp.full((n * n,), z0)], 1)
+    u = np.asarray(
+        jax.jit(model.apply_batch)(out["result"].best_params, pts)
+    ).reshape(n, n)
+    ue = np.asarray(_ipw.psi_3d(cfg["nx"], cfg["ny"], cfg["nz"],
+                                GX, GY, z0, L))
+    if np.mean((u - ue) ** 2) > np.mean((u + ue) ** 2):
+        u = -u
+    return plot_2d_comparison(
+        np.asarray(GX), np.asarray(GY), u, ue,
+        os.path.join(save_dir, f"slice_z{z_frac:g}_{tag}.png"),
+        title=f"{tag} (z = {z0:g})",
+    )
 
 
 # --------------------------------------------------------------------- 2D QHO
