@@ -72,3 +72,18 @@ def test_floquet_harmonics_plot(tmp_path):
 
     assert os.path.exists(png)
     assert os.path.getsize(png) > 20_000
+
+
+def test_ipw3d_slice_plot(tmp_path):
+    from nnpde_tpu.exp.run import plot_ipw_3d_slice, run_ipw_3d
+    from nnpde_tpu.problems.ipw3d import IPW3DConfig
+
+    out = run_ipw_3d(
+        IPW3DConfig(epochs=10, n_interior=512, chunk=10,
+                    layers=(3, 8, 8, 1), data_grid_n=4, n_eval=512),
+        save_dir=str(tmp_path),
+    )
+    p = plot_ipw_3d_slice(out, str(tmp_path), "t", n=16)
+    import os
+
+    assert os.path.exists(p)
