@@ -181,7 +181,7 @@ def psum_mean_step(loss_fn, mesh: Mesh, axis: str = "data"):
     )
 
 
-def fused_residual_step(mesh: Mesh, activation: str, axis: str = "data",
+def fused_residual_step(mesh: Mesh, activation: str, axis="data",
                         kind: str = "pinn", **kernel_kw):
     """Data-parallel one-pass fused loss+grad kernel via ``shard_map``.
 
@@ -196,6 +196,10 @@ def fused_residual_step(mesh: Mesh, activation: str, axis: str = "data",
 
     Returns ``step(params, X, coef) -> (loss, aux, grads)`` to be called
     under ``jit`` on a mesh-sharded (X, coef) with replicated params.
+    ``axis`` may be a tuple of mesh axis names (e.g. ``("dcn", "data")``
+    on a multi-slice mesh) — the batch shards over their product and the
+    reductions run over both (XLA routes the per-slice partials over ICI
+    first; see dp_dcn_step for the fully hierarchical formulation).
     """
     from ..kernels import fused_drm_energy, fused_linear_residual
 

@@ -281,3 +281,32 @@ def test_fused_drm_step_matches_single_device(setup):
                                    rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(float(sums["sum_e"]), float(lo) * X.shape[0],
                                rtol=1e-6)
+
+
+def test_fused_step_on_dcn_mesh(setup):
+    """Fused shard_map step over a 2-level (dcn, data) mesh: batch shards
+    over the product axis, reductions over both levels."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnpde_tpu.kernels import (
+        fused_linear_residual, residual_coefficients,
+    )
+    from nnpde_tpu.parallel import fused_residual_step, make_mesh_dcn
+
+    model, params, X, f, loss_fn = setup
+    coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+    lo, _, go = fused_linear_residual(params, X, coef, "sin", bwd_tile=64)
+
+    mesh = make_mesh_dcn(2, 4)
+    spec = P(("dcn", "data"))
+    Xs = jax.device_put(X, NamedSharding(mesh, spec))
+    cs = jax.device_put(coef, NamedSharding(mesh, spec))
+    ps = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    step = jax.jit(fused_residual_step(mesh, "sin", axis=("dcn", "data"),
+                                       bwd_tile=64))
+    ls, _, gs = step(ps, Xs, cs)
+    np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
+    for (aw, _), (bw, _) in zip(gs, go):
+        np.testing.assert_allclose(np.asarray(aw), np.asarray(bw),
+                                   rtol=1e-5, atol=1e-8)
