@@ -287,7 +287,8 @@ def run_ipw_2d(cfg: IPW2DConfig,
 
 
 # --------------------------------------------------------------------- 3D IPW
-def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D") -> Dict:
+def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D",
+               plot: bool = False) -> Dict:
     from ..problems.ipw3d import train_ipw_3d
 
     t0 = time.time()
@@ -312,6 +313,8 @@ def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D") -> Dic
     out = _persist(out, save_dir=save_dir,
                    results_file="results_IPW_3D.json",
                    tag=tag, meta=meta, extra_row=extra)
+    if plot:
+        out["plot_path"] = plot_ipw_3d_slice(out, save_dir, tag)
     return out
 
 

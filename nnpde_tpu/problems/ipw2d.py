@@ -280,7 +280,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 X_c = X.astype(jnp.bfloat16)
             else:
                 p_c, X_c = params, X
-            impl = cfg.jet_impl if dtype != "bfloat16" else "xla"
+            impl = ("pallas" if cfg.jet_impl == "pallas"
+                    and dtype != "bfloat16" else "xla")
             if cfg.method == "PINN":
                 jet = model.fields(p_c, X_c, impl=impl)
                 u = jet.value.astype(jnp.float32)
@@ -522,7 +523,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 metrics.update(terms)
                 return (total, metrics), grads
 
-            fused_kw = {"loss_and_grad_fn": lag_fn}
+            # fused carries only the exact-f32 phases: plain f32 runs and
+            # the f32 tail of 'hybrid'.  A pure-bf16 run keeps the XLA
+            # bf16-stream loss the user asked for (kernels are f32-in).
+            fused_kw = ({"loss_and_grad_fn": lag_fn}
+                        if cfg.compute_dtype != "bfloat16" else {})
         else:
             fused_kw = {}
         if cfg.compute_dtype == "hybrid":

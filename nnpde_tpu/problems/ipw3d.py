@@ -28,9 +28,10 @@ import jax.numpy as jnp
 
 from ..losses.zoo import data_mse, drm_rayleigh_unscaled, pinn_helmholtz
 from ..models import NetSpec, SolutionModel, factor_for_technique
+from .. import runtime
 from ..pde import ipw as phys
 from ..pde.domain import Box
-from ..sampling import sobol_box, uniform_box
+from ..sampling import shifted_qmc, sobol_unit, uniform_box
 from ..train import fit, make_optimizer
 
 
@@ -69,6 +70,8 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
             "jet_impl='pallas-fused' fuses the strong-form residual loss "
             "(kernels/fused_step.py) — PINN only"
         )
+    chunk = (min(cfg.chunk, runtime.pallas_chunk_cap())
+             if cfg.jet_impl.startswith("pallas") else cfg.chunk)
     nq, L = (cfg.nx, cfg.ny, cfg.nz), cfg.L
     factor = factor_for_technique(
         cfg.technique,
@@ -90,12 +93,13 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
     E = phys.energy_3d(*nq, L)
     k_squared = 2.0 * E
 
+    if cfg.sampler == "sobol":
+        U_base = sobol_unit(cfg.seed, cfg.n_interior, 3)
+
     def draw(key_d):
         if cfg.sampler == "sobol":
-            base = sobol_box(cfg.seed, cfg.n_interior, box)
-            # Cranley-Patterson rotation -> fresh unbiased QMC set
-            s = jax.random.uniform(key_d, (3,))
-            return jnp.mod(base / L + s[None, :], 1.0) * L
+            # per-epoch randomised QMC (Cranley-Patterson; samplers.py)
+            return shifted_qmc(U_base, key_d, box)
         return uniform_box(key_d, cfg.n_interior, box)
 
     X_fix = draw(jax.random.fold_in(key, 7))
@@ -181,7 +185,7 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
     result = fit(
         loss_fn, eval_fn, params,
         epochs=cfg.epochs, optimizer=optimizer,
-        key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+        key=jax.random.fold_in(key, 1), chunk=chunk,
         **fit_kwargs,
     )
 

@@ -349,8 +349,11 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
                 max_data_points=cfg.max_data_points,
                 v_layers=cfg.v_layers, v_steps=cfg.v_steps,
                 train_n=cfg.train_n, seed=cfg.seed, chunk=cfg.chunk,
-                jet_impl=(cfg.jet_impl if method == "PINN"
-                          or cfg.jet_impl != "pallas-fused" else "xla"),
+                # the fused kernel covers the strong residual only — the
+                # DRM/WAN legs fall back (same rule as sweeps.py)
+                jet_impl=("xla" if method != "PINN"
+                          and cfg.jet_impl == "pallas-fused"
+                          else cfg.jet_impl),
             )
             res = train_kh(run_cfg, gt, x_train=x_train)
             elapsed = time.time() - t0

@@ -282,10 +282,12 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
                 metrics.update(terms)
                 if use_E_param:
                     # dr/dE = -u  =>  dL/dE = -(2 w_pde / N) sum r*u — the
-                    # kernel's extra-output lane (e = B)
+                    # kernel's extra-output lane (e = B).  g_aux["E"] is 0
+                    # today (no aux term reads E) but stays in the sum so a
+                    # future E-dependent aux term keeps its gradient.
                     grads["E"] = (
                         -2.0 * w["pde"] / kaux["n"]
-                    ) * kaux["sum_r_ufull"]
+                    ) * kaux["sum_r_ufull"] + g_aux["E"]
                     metrics["E"] = params["E"]
                 return (total, metrics), grads
 
