@@ -48,6 +48,7 @@ def _tree_rel_err(a, b):
     (3, 32, "sin", 2),
     (5, 16, "sin", 1),
     (7, 16, "sin", 2),   # no input-dim cap (unlike the pallas2 forward)
+    (10, 16, "sin", 1),  # d = 2x the reference's max dimension
 ])
 def test_fused_matches_oracle(d, width, act, lane_pack):
     key = jax.random.PRNGKey(d * 131 + width)
@@ -228,6 +229,19 @@ def test_fused_drm_energy_matches_oracle(lane_pack, technique):
         abs(float(loss_o)), 1e-8)
     assert _tree_rel_err(grads, grads_o) <= 1e-5
     assert aux["n"] == N
+
+
+def test_poisson_d10_trains_on_fused_path():
+    """d=10 Poisson PINN end-to-end on the fused kernel — twice the
+    reference's maximum dimension (Poisson_ND.py supports d<=5); the
+    packed jet-forward kernel caps at d<=6, the fused kernel does not."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    out = train_poisson_nd(PoissonConfig(
+        dim=10, method="PINN", epochs=60, n_interior=512, chunk=30,
+        width=16, depth=3, resample=True, jet_impl="pallas-fused", seed=0))
+    assert np.isfinite(out["rel_l2"])
+    assert out["history"]["total"].shape == (60,)
 
 
 def test_poisson_drm_trains_with_fused_energy():
