@@ -45,7 +45,71 @@ def measured_cpu_anchor():
         return None
 
 
+def _fail_row(reason: str) -> dict:
+    """Structured, parseable failure line — a backend outage must never
+    surface as an rc=1 traceback (BENCH_r03 was lost to exactly that)."""
+    return {
+        "metric": "collocation pts/sec/chip (residual eval)",
+        "value": None,
+        "unit": "pts/s/chip",
+        "vs_baseline": None,
+        "ok": False,
+        "reason": reason,
+    }
+
+
+def _probe_backend(timeout_s: float = 150.0):
+    """Probe backend init + one tiny dispatch in a subprocess.
+
+    A dead TPU tunnel makes ``jax.devices()`` hang for minutes; probing in a
+    watchdogged subprocess means this process can always emit structured
+    JSON instead of hanging or crashing.  Returns (ok, detail).
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "d = jax.devices();"
+        "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
+        "print(d[0].platform, len(d))"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"tpu_unavailable: backend init exceeded {timeout_s:.0f}s"
+    if out.returncode != 0:
+        tail = (out.stderr or "").strip().splitlines()
+        return False, "tpu_unavailable: " + (tail[-1] if tail else "init failed")
+    return True, out.stdout.strip()
+
+
 def main(all_devices: bool = False, batch: int | None = None,
+         steps: int | None = None, cpu_mesh: int = 0,
+         kernel_mode: str = "exact"):
+    if not cpu_mesh:
+        ok, detail = _probe_backend()
+        if not ok:
+            print(json.dumps(_fail_row(detail)))
+            return
+    try:
+        _run(all_devices=all_devices, batch=batch, steps=steps,
+             cpu_mesh=cpu_mesh, kernel_mode=kernel_mode)
+    except Exception as e:  # noqa: BLE001 — classify, re-raise real bugs
+        msg = f"{type(e).__name__}: {e}"
+        env_markers = ("UNAVAILABLE", "Unavailable", "DEADLINE_EXCEEDED",
+                       "failed to connect", "socket closed",
+                       "Unable to initialize backend")
+        if any(m in msg for m in env_markers):
+            # environment fault (chip gone mid-run), not a code fault
+            print(json.dumps(_fail_row("tpu_unavailable: " + msg[:500])))
+            return
+        raise
+
+
+def _run(all_devices: bool = False, batch: int | None = None,
          steps: int | None = None, cpu_mesh: int = 0,
          kernel_mode: str = "exact"):
     from nnpde_tpu.runtime import enable_compilation_cache
