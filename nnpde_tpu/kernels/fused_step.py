@@ -424,6 +424,25 @@ def _fused_call(
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b_in]
         + [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
     )
+    # Propagate varying-mesh-axes: under shard_map(check_vma=True) every
+    # output is a per-shard partial, varying over exactly the axes the
+    # batch inputs vary over.  The replicated weights are pvary'd to the
+    # same axes (numerically a no-op) so every kernel operand agrees.
+    # This keeps the vma checker ON for the sharded fused step (a missing
+    # pmean downstream is then a static error, not a silent wrong answer).
+    try:
+        vma = frozenset().union(jax.typeof(Xt).vma, jax.typeof(Ct).vma)
+    except (AttributeError, TypeError):  # pragma: no cover — older jax
+        vma = frozenset()
+    if vma:
+        ax = tuple(sorted(vma))
+        W_in = [jax.lax.pvary(W, ax) for W in W_in]
+        b_in = [jax.lax.pvary(b, ax) for b in b_in]
+        blast = jax.lax.pvary(blast, ax)
+        out_shape = [
+            jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma)
+            for s in out_shape
+        ]
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -310,3 +310,54 @@ def test_fused_step_on_dcn_mesh(setup):
     for (aw, _), (bw, _) in zip(gs, go):
         np.testing.assert_allclose(np.asarray(aw), np.asarray(bw),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_fused_step_outputs_mesh_invariant_per_shard(setup):
+    """Every shard's post-collective (loss, sums, grads) is BITWISE
+    identical — the invariance the vma checker would prove statically if
+    pallas-interpret supported it (fused_residual_step keeps
+    check_vma=False; this test is its replacement guarantee).  Each
+    shard's copy is surfaced by tiling the outputs along a leading axis
+    with out_specs=P('data') instead of collapsing them with P()."""
+    from jax.sharding import PartitionSpec as P
+
+    from nnpde_tpu.kernels import (
+        fused_linear_residual, residual_coefficients,
+    )
+
+    model, params, X, f, loss_fn = setup
+    coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    def local(ps, Xl, cl):
+        loss, aux, grads = fused_linear_residual(ps, Xl, cl, "sin",
+                                                 bwd_tile=64)
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "data"), grads)
+        sums = {k: jax.lax.psum(v, "data")
+                for k, v in aux.items() if k != "n"}
+        # expose each shard's copy of the reduced values
+        tile = lambda x: jnp.asarray(x)[None]
+        return (tile(loss), jax.tree_util.tree_map(tile, sums),
+                jax.tree_util.tree_map(tile, grads))
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    loss_t, sums_t, grads_t = jax.jit(step)(
+        replicate(params, mesh), shard_batch(X, mesh),
+        shard_batch(coef, mesh))
+
+    for leaf in jax.tree_util.tree_leaves((loss_t, sums_t, grads_t)):
+        arr = np.asarray(leaf)
+        assert arr.shape[0] == n_dev
+        for k in range(1, n_dev):
+            np.testing.assert_array_equal(
+                arr[k], arr[0],
+                err_msg="fused-step output differs across shards — a "
+                        "collective is missing in fused_residual_step")
