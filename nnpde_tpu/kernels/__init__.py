@@ -5,3 +5,14 @@ from .fused_step import (
     fused_linear_residual,
     residual_coefficients,
 )
+from .fused_quotient import (
+    fused_linear_sums,
+    fused_quad_sums,
+    fused_quad_seeded_grads,
+    fused_seeded_grads,
+    linear_functional_coefficients,
+    make_fused_rayleigh,
+    make_fused_wan_u,
+    make_fused_wan_v,
+    quotient_coefficients,
+)

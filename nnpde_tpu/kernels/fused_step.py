@@ -344,6 +344,8 @@ def _fused_call(
     concat_streams: bool = True,
     dot_dtype: str = "float32",
     lane_pack: int | None = None,
+    scalars=None,
+    grads_out: bool = True,
 ):
     """Shared plumbing for the fused kernels: tile selection, padding,
     2-point lane packing, pallas_call, and dW/db block folding.
@@ -351,6 +353,12 @@ def _fused_call(
     ``kernel_body`` must follow :func:`_fused_kernel`'s signature and ref
     layout.  Returns ``(dWs, dbs, sums, N)`` with dWs/dbs the UNSCALED
     accumulated sums and ``sums`` the (128,) accumulator lane vector.
+
+    ``scalars``: optional (128,) vector of global scalar factors streamed
+    to the kernel as an extra lane-broadcast (1, 128) input placed between
+    ``blast`` and ``coef`` (the two-pass quotient kernels' pass-B seeds).
+    ``grads_out=False`` drops the dW/db outputs entirely (pass-A
+    sums-only kernels) and returns ``(sums, N)``.
     """
     if interpret is None:
         interpret = not pallas_available()
@@ -409,21 +417,31 @@ def _fused_call(
     blast = jnp.broadcast_to(bs[-1].reshape(1, 1), (1, 128))
     kernel = functools.partial(kernel_body, d, K, T, activation,
                                concat_streams, dot_dtype, packed, nc)
+    scal_in = ()
+    if scalars is not None:
+        scal_in = (jnp.broadcast_to(
+            jnp.asarray(scalars, jnp.float32).reshape(1, -1), (1, 128)),)
     in_specs = [pl.BlockSpec((1, T, din), lambda i: (i, 0, 0))]
     in_specs += [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
     in_specs += [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
     in_specs += [pl.BlockSpec(blast.shape, lambda i: (0, 0))]
+    in_specs += [pl.BlockSpec((1, 128), lambda i: (0, 0))
+                 for _ in scal_in]
     in_specs += [pl.BlockSpec((1, T, dcoef), lambda i: (i, 0, 0))]
-    out_specs = (
-        [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
-        + [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
-        + [pl.BlockSpec((1, 128), lambda i: (0, 0))]
-    )
-    out_shape = (
-        [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in W_in]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b_in]
-        + [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
-    )
+    if grads_out:
+        out_specs = (
+            [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
+            + [pl.BlockSpec(b.shape, lambda i: (0, 0)) for b in b_in]
+            + [pl.BlockSpec((1, 128), lambda i: (0, 0))]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in W_in]
+            + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in b_in]
+            + [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+        )
+    else:
+        out_specs = [pl.BlockSpec((1, 128), lambda i: (0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((1, 128), jnp.float32)]
     # Propagate varying-mesh-axes: under shard_map(check_vma=True) every
     # output is a per-shard partial, varying over exactly the axes the
     # batch inputs vary over.  The replicated weights are pvary'd to the
@@ -439,6 +457,7 @@ def _fused_call(
         W_in = [jax.lax.pvary(W, ax) for W in W_in]
         b_in = [jax.lax.pvary(b, ax) for b in b_in]
         blast = jax.lax.pvary(blast, ax)
+        scal_in = tuple(jax.lax.pvary(s, ax) for s in scal_in)
         out_shape = [
             jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma)
             for s in out_shape
@@ -450,7 +469,9 @@ def _fused_call(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(Xt, *W_in, *b_in, blast, Ct)
+    )(Xt, *W_in, *b_in, blast, *scal_in, Ct)
+    if not grads_out:
+        return outs[0][0], N
     sums = outs[-1][0]
     if packed:
         def fold_W(O, W):

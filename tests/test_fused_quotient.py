@@ -1,0 +1,306 @@
+"""Two-pass fused quotient kernels vs the XLA autodiff oracle.
+
+Pass A (forward sums) + scalar glue + pass B (seeded reverse sweep) wrapped
+in custom VJPs must reproduce ``jax.value_and_grad`` of the same losses
+built from :func:`nnpde_tpu.ops.fwdlap.mlp_fwdlap` to 1e-5 relative error.
+Interpreter mode off-TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpde_tpu.kernels.fused_quotient import (
+    fused_linear_sums,
+    fused_quad_sums,
+    linear_functional_coefficients,
+    make_fused_rayleigh,
+    make_fused_wan_u,
+    make_fused_wan_v,
+    quotient_coefficients,
+)
+from nnpde_tpu.models import NetSpec, SolutionModel, factor_for_technique
+from nnpde_tpu.ops.fwdlap import mlp_fwdlap
+
+KW = dict(bwd_tile=128, interpret=True)
+
+
+def _tree_rel_err(a, b):
+    num = sum(float(jnp.sum((x - y) ** 2))
+              for x, y in zip(jax.tree_util.tree_leaves(a),
+                              jax.tree_util.tree_leaves(b)))
+    den = sum(float(jnp.sum(y ** 2)) for y in jax.tree_util.tree_leaves(b))
+    return (num / max(den, 1e-30)) ** 0.5
+
+
+def _setup(d, width, act, seed=0, N=300, technique="FBC"):
+    key = jax.random.PRNGKey(seed)
+    L = 1.5
+    model = SolutionModel(
+        NetSpec((d, width, width, width, 1), activation=act),
+        factor_for_technique(technique, dim=d, kind="box", L=L),
+    )
+    params = model.init(key)
+    X = jax.random.uniform(jax.random.fold_in(key, 1), (N, d),
+                           minval=0.05, maxval=L - 0.05)
+    return model, params, X, L
+
+
+def _full_jet(model, params, X, act):
+    """Oracle jet of the FULL solution u = B * net (analytic product)."""
+    net = mlp_fwdlap(params, X, act)
+    B = model.factor.jet(X)
+    u = B.value * net.value
+    gu = B.value[:, None] * net.grad + B.grad * net.value[:, None]
+    lap = (B.value * net.lap + 2.0 * jnp.sum(B.grad * net.grad, axis=1)
+           + B.lap * net.value)
+    return u, gu, lap
+
+
+# ------------------------------------------------------------------ pass A
+@pytest.mark.parametrize("d,lane_pack", [(1, 1), (2, 2), (3, 1)])
+def test_linear_sums_lanes(d, lane_pack):
+    act = "sin"
+    model, params, X, L = _setup(d, 16, act)
+    N = X.shape[0]
+    key = jax.random.PRNGKey(7)
+    c0 = jax.random.normal(key, (N,))
+    b0 = jax.random.normal(jax.random.fold_in(key, 1), (N, d))
+    rhs = jax.random.normal(jax.random.fold_in(key, 2), (N,))
+    B = model.factor.jet(X)
+    phi = jax.random.normal(jax.random.fold_in(key, 3), (N,))
+    coef = linear_functional_coefficients(
+        B, c0=c0, b0=b0, a0=0.3, rhs=rhs, e1=B.value, e2=B.value * phi)
+    s = fused_linear_sums(params, X, coef, act, lane_pack=lane_pack, **KW)
+
+    u, gu, lap = _full_jet(model, params, X, act)
+    r = 0.3 * lap + jnp.sum(b0 * gu, axis=1) + c0 * u + rhs
+    np.testing.assert_allclose(float(s["sum_r"]), float(jnp.sum(r)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s["sum_r2"]), float(jnp.sum(r ** 2)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s["sum_mass"]), float(jnp.sum(u ** 2)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s["sum_e2"]), float(jnp.sum(u * phi)),
+                               rtol=1e-5)
+    assert s["n"] == N
+
+
+@pytest.mark.parametrize("d,lane_pack", [(1, 2), (2, 1)])
+def test_quad_sums_lanes(d, lane_pack):
+    act = "tanh"
+    model, params, X, L = _setup(d, 16, act)
+    N = X.shape[0]
+    key = jax.random.PRNGKey(8)
+    f = jax.random.normal(key, (N,))
+    V = jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    coef = quotient_coefficients(model.factor.jet(X), f=f, V=V)
+    s = fused_quad_sums(params, X, coef, act, lane_pack=lane_pack, **KW)
+
+    u, gu, _ = _full_jet(model, params, X, act)
+    e = 0.5 * jnp.sum(gu ** 2, axis=1) - f * u + V * u ** 2
+    np.testing.assert_allclose(float(s["sum_e"]), float(jnp.sum(e)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s["sum_u2"]), float(jnp.sum(u ** 2)),
+                               rtol=1e-5)
+
+
+# ---------------------------------------------------------------- Rayleigh
+@pytest.mark.parametrize("d,act,lane_pack", [
+    (1, "tanh", 1), (2, "sin", 2), (3, "sin", 1),
+])
+def test_fused_rayleigh_matches_autodiff(d, act, lane_pack):
+    """Eigen-DRM quotient: IPW (V=0) and Schrodinger (V!=0) forms."""
+    model, params, X, L = _setup(d, 16, act, seed=d)
+    N = X.shape[0]
+    V = 0.5 * jnp.sum((X - L / 2) ** 2, axis=1)       # QHO-like potential
+    coef = quotient_coefficients(model.factor.jet(X), V=V)
+    w = 3.0
+    loss = make_fused_rayleigh(act, weight=w, lane_pack=lane_pack, **KW)
+
+    def wrapped(p):
+        total, aux = loss(p, X, coef)
+        return total, aux
+
+    (val, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+
+    def oracle(p):
+        u, gu, _ = _full_jet(model, p, X, act)
+        num = jnp.mean(0.5 * jnp.sum(gu ** 2, axis=1) + V * u ** 2)
+        return w * num / jnp.mean(u ** 2)
+
+    val_o, grads_o = jax.value_and_grad(oracle)(params)
+    assert abs(float(val) - float(val_o)) <= 1e-5 * abs(float(val_o))
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+    np.testing.assert_allclose(float(aux["rayleigh"]) * w, float(val_o),
+                               rtol=1e-5)
+
+
+# ------------------------------------------------------------------- WAN u
+@pytest.mark.parametrize("convention,trainE,lane_pack", [
+    ("wr2_over_norm", False, 2),
+    ("wr2_over_norm", True, 1),
+    ("ratio_sq", True, 2),
+])
+def test_fused_wan_u_matches_autodiff(convention, trainE, lane_pack):
+    """Primal WAN objective: weak form + norm penalty, optional trainable
+    E (IPW_1D_WAN.py:106-112, QHO_1D_WAN.py:131, KH_1D.py:264-268)."""
+    d, act = 2, "sin"
+    model, params, X, L = _setup(d, 16, act, seed=11)
+    N = X.shape[0]
+    key = jax.random.PRNGKey(21)
+    phi = jax.random.normal(key, (N,))
+    gphi = jax.random.normal(jax.random.fold_in(key, 1), (N, d))
+    V = 0.3 * jnp.sum(X ** 2, axis=1)
+    E0 = jnp.asarray(2.7)
+    pref, vol, eps = 0.5, float(L ** d), 1e-8
+    w_pde, w_norm = 10.0, 100.0
+    phi_norm = jnp.mean(phi ** 2)
+
+    B = model.factor.jet(X)
+    base = linear_functional_coefficients(
+        B, c0=V * phi, b0=pref * gphi, a0=0.0,
+        e1=B.value, e2=B.value * phi)
+    loss = make_fused_wan_u(act, convention=convention, eps=eps, vol=vol,
+                            w_pde=w_pde, w_norm=w_norm,
+                            lane_pack=lane_pack, **KW)
+
+    def wrapped(p, E):
+        total, aux = loss(p, E, X, base, phi_norm)
+        return total, aux
+
+    (val, aux), (grads, dE) = jax.value_and_grad(
+        wrapped, argnums=(0, 1), has_aux=True)(params, E0)
+
+    def oracle(p, E):
+        u, gu, _ = _full_jet(model, p, X, act)
+        wr = jnp.mean(pref * jnp.sum(gu * gphi, axis=1) + (V - E) * u * phi)
+        if convention == "wr2_over_norm":
+            pde = wr ** 2 / (phi_norm + eps)
+        else:
+            pde = (wr / (phi_norm + eps)) ** 2
+        return w_pde * pde + w_norm * (vol * jnp.mean(u ** 2) - 1.0) ** 2
+
+    val_o, (grads_o, dE_o) = jax.value_and_grad(
+        oracle, argnums=(0, 1))(params, E0)
+    assert abs(float(val) - float(val_o)) <= 1e-5 * abs(float(val_o))
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+    if trainE:
+        np.testing.assert_allclose(float(dE), float(dE_o), rtol=1e-5,
+                                   atol=1e-10)
+    assert np.isfinite(float(aux["weak_residual"]))
+
+
+def test_fused_wan_u_phi_norm_cotangent():
+    """The phi_norm scalar cotangent is exact (not silently zero)."""
+    d, act = 1, "sin"
+    model, params, X, L = _setup(d, 16, act, seed=3)
+    N = X.shape[0]
+    phi = jax.random.normal(jax.random.PRNGKey(5), (N,))
+    B = model.factor.jet(X)
+    base = linear_functional_coefficients(
+        B, c0=-1.0 * phi, b0=0.5 * jnp.ones((N, d)) * 0.0, a0=0.0,
+        e1=B.value, e2=B.value * phi)
+    loss = make_fused_wan_u(act, eps=1e-8, vol=float(L), w_pde=1.0, **KW)
+
+    def f(pn):
+        total, _ = loss(params, jnp.asarray(1.3), X, base, pn)
+        return total
+
+    pn0 = jnp.mean(phi ** 2)
+    g = jax.grad(f)(pn0)
+    h = 1e-3
+    fd = (f(pn0 + h) - f(pn0 - h)) / (2 * h)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+# ------------------------------------------------------------------- WAN v
+@pytest.mark.parametrize("objective,convention,lane_pack", [
+    ("neg_log", "wr2_over_norm", 2),
+    ("neg", "ratio_sq", 1),
+])
+def test_fused_wan_v_matches_autodiff(objective, convention, lane_pack):
+    """Critic objective: -log(pde_loss+eps) (IPW_1D_WAN.py:114) and the KH
+    direct ascent -pde_loss (KH_1D.py:347-350), phi = w * v."""
+    d, act = 2, "tanh"
+    # the critic is a RAW net; use a bump-like smooth positive w as its
+    # "factor" multiplier
+    model, v_params, X, L = _setup(d, 16, act, seed=31, technique="FBC")
+    N = X.shape[0]
+    key = jax.random.PRNGKey(41)
+    u = jax.random.normal(key, (N,))
+    gu = jax.random.normal(jax.random.fold_in(key, 1), (N, d))
+    V = 0.2 * jnp.sum(X ** 2, axis=1)
+    E, pref, eps, leps = 1.9, 0.5, 1e-8, 1e-8
+
+    Bw = model.factor.jet(X)   # stands in for the bump w jet
+    coef = linear_functional_coefficients(
+        Bw, c0=(V - E) * u, b0=pref * gu, a0=0.0, e1=Bw.value)
+    loss_v = make_fused_wan_v(act, convention=convention, eps=eps,
+                              objective=objective, log_eps=leps,
+                              lane_pack=lane_pack, **KW)
+
+    def wrapped(p):
+        total, aux = loss_v(p, X, coef)
+        return total, aux
+
+    (val, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(v_params)
+
+    def oracle(p):
+        net = mlp_fwdlap(p, X, act)
+        phi = Bw.value * net.value
+        gphi = Bw.value[:, None] * net.grad + Bw.grad * net.value[:, None]
+        wr = jnp.mean(pref * jnp.sum(gu * gphi, axis=1) + (V - E) * u * phi)
+        pn = jnp.mean(phi ** 2)
+        if convention == "wr2_over_norm":
+            pde = wr ** 2 / (pn + eps)
+        else:
+            pde = (wr / (pn + eps)) ** 2
+        return -jnp.log(pde + leps) if objective == "neg_log" else -pde
+
+    val_o, grads_o = jax.value_and_grad(oracle)(v_params)
+    assert abs(float(val) - float(val_o)) <= 1e-5 * max(abs(float(val_o)),
+                                                        1e-8)
+    assert _tree_rel_err(grads, grads_o) <= 1e-5
+
+
+def test_fused_wan_under_jit_and_scan():
+    """The custom-vjp losses must compose with jit + scan (the trainer's
+    compiled epoch loop)."""
+    d, act = 1, "sin"
+    model, params, X, L = _setup(d, 16, act, seed=9, N=128)
+    N = X.shape[0]
+    phi = jnp.sin(jnp.pi * X[:, 0] / L)
+    gphi = (jnp.pi / L) * jnp.cos(jnp.pi * X[:, 0] / L)[:, None]
+    B = model.factor.jet(X)
+    base = linear_functional_coefficients(
+        B, c0=jnp.zeros((N,)), b0=0.5 * gphi, a0=0.0,
+        e1=B.value, e2=B.value * phi)
+    phi_norm = jnp.mean(phi ** 2)
+    loss = make_fused_wan_u(act, vol=float(L), w_pde=1.0, w_norm=10.0, **KW)
+
+    import optax
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def run(params, E):
+        state = opt.init((params, E))
+
+        def step(carry, _):
+            (params, E), state = carry
+            def obj(pe):
+                total, _ = loss(pe[0], pe[1], X, base, phi_norm)
+                return total
+            val, g = jax.value_and_grad(obj)((params, E))
+            upd, state = opt.update(g, state, (params, E))
+            return (optax.apply_updates((params, E), upd), state), val
+
+        (pe, _), vals = jax.lax.scan(step, ((params, E), state), None,
+                                     length=5)
+        return vals
+
+    vals = run(params, jnp.asarray(3.0))
+    v = np.asarray(vals)
+    assert np.all(np.isfinite(v))
+    assert v[-1] <= v[0]      # 5 adam steps should not increase the loss
