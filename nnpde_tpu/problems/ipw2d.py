@@ -34,8 +34,16 @@ from ..losses.zoo import (
     wan_pde_loss,
     wan_weak_residual,
 )
+from ..kernels import (
+    linear_functional_coefficients,
+    make_fused_rayleigh,
+    make_fused_wan_u,
+    make_fused_wan_v,
+    quotient_coefficients,
+)
 from ..models import NetSpec, SolutionModel, factor_for_technique
 from ..ops import bump_w
+from ..ops.fwdlap import Jet
 from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
@@ -146,10 +154,12 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
              else cfg.chunk)
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
+    if (cfg.jet_impl == "pallas-fused" and cfg.method == "WAN"
+            and cfg.n_test_grid > 1):
         raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
+            "jet_impl='pallas-fused' covers the single-test-function WAN "
+            "(kernels/fused_quotient.py); multi-bump WAN needs per-bump "
+            "sums — use jet_impl='pallas'"
         )
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
@@ -271,7 +281,30 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             else jnp.asarray(0.0),
         }
 
+    # two-pass fused Rayleigh quotient for the DRM branch (pass A sums +
+    # seeded pass B via custom_vjp, kernels/fused_quotient.py); weight 2x
+    # converts the kernel's 1/2|grad|^2 numerator to the reference's
+    # unscaled IPW convention (IPW_2D.py:226-227)
+    fused_drm = (cfg.method == "DRM" and cfg.jet_impl == "pallas-fused")
+    if fused_drm:
+        ray_loss = make_fused_rayleigh(
+            model.spec.activation, weight=2.0 * w["drm"], den_eps=1e-8)
+        coef_ray = quotient_coefficients(factor.jet(X))
+
     def make_loss_terms(dtype):
+        if fused_drm and dtype == "float32":
+            def loss_terms(params):
+                total_drm, aux = ray_loss(params, X, coef_ray)
+                u = model.apply_batch(params, X)
+                terms = {"pde": jnp.asarray(0.0),
+                         "drm": 2.0 * aux["rayleigh"]}
+                terms.update(shared_terms(params, u))
+                total = total_drm + sum(
+                    w[k] * terms[k] for k in w if k not in ("drm", "pde"))
+                return total, terms
+
+            return loss_terms
+
         def loss_terms(params):
             if dtype == "bfloat16":
                 p_c = jax.tree_util.tree_map(
@@ -354,7 +387,23 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                     p_c, Xw.astype(jnp.bfloat16), impl="xla"
                 )
                 return u.astype(jnp.float32), g.astype(jnp.float32)
-            return m.value_and_grad(p, Xw, impl=cfg.jet_impl)
+            impl = ("pallas" if cfg.jet_impl.startswith("pallas")
+                    else cfg.jet_impl)
+            return m.value_and_grad(p, Xw, impl=impl)
+
+        def pick_points(key):
+            """Quadrature set + single-bump (w, dw) for this step (the
+            jitter / resample / fixed-grid rules of wan_pde)."""
+            if cfg.grid_jitter and key is not None:
+                s = jax.random.uniform(key, (2,), X.dtype)
+                Xw = X_lat + s[None, :] * h_cell
+                wv_c, dwv_c = bump_w(Xw, 0.0, L)
+            elif cfg.wan_resample and key is not None:
+                Xw = jax.random.uniform(key, X.shape, X.dtype, 0.0, L)
+                wv_c, dwv_c = bump_w(Xw, 0.0, L)
+            else:
+                Xw, wv_c, dwv_c = X, wv_const, dwv_const
+            return Xw, wv_c, dwv_c
 
         def wan_pde(u_params, v_params, key=None, dtype="float32"):
             if cfg.grid_jitter and key is not None:
@@ -398,7 +447,65 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             weak = wan_weak_residual(gu, phi, gphi, u=u, E=E, prefactor=0.5)
             return wan_pde_loss(weak, jnp.mean(phi**2)), u, Xw
 
+        # two-pass fused WAN step (kernels/fused_quotient.py): the weak
+        # residual and phi/u masses accumulate in-kernel (pass A), the
+        # quotient scalars combine in XLA, and pass B seeds the reverse
+        # sweep — custom_vjp, so fit_wan's value_and_grad (all three
+        # minimax modes) picks it up unchanged.  The parity/symmetry/
+        # data/norm terms keep their reference quadrature rules on the
+        # standard path (they need u forwards at reflected points anyway).
+        fused_wan = cfg.jet_impl == "pallas-fused"
+        if fused_wan:
+            fused_u_loss = make_fused_wan_u(
+                model.spec.activation, eps=1e-8, vol=L * L,
+                w_pde=w["pde"], w_norm=0.0)
+            fused_v_loss = make_fused_wan_v(
+                v_model.spec.activation, eps=1e-8, objective="neg_log",
+                log_eps=1e-8)
+            E_fix = jnp.asarray(E, jnp.float32)
+
         def make_wan_losses(dtype):
+            if fused_wan and dtype == "float32":
+                def v_loss_fn(v_params, u_params, key):
+                    Xw, wv_c, dwv_c = pick_points(key)
+                    u, gu = net_vg(model, u_params, Xw, dtype)
+                    # the critic's effective multiplier is bump x its own
+                    # trial factor: phi = (w * B_v) * net_v
+                    Bv = v_model.factor.jet(Xw)
+                    Wm = wv_c * Bv.value
+                    gWm = dwv_c * Bv.value[:, None] + wv_c[:, None] * Bv.grad
+                    wjet = Jet(value=Wm, grad=gWm, lap=jnp.zeros_like(Wm))
+                    coef = linear_functional_coefficients(
+                        wjet, c0=-E * u, b0=0.5 * gu, e1=Wm)
+                    lv, _ = fused_v_loss(v_params, Xw, coef)
+                    return lv
+
+                def u_loss_fn(u_params, v_params, key):
+                    Xw, wv_c, dwv_c = pick_points(key)
+                    v, gv = net_vg(v_model, v_params, Xw, dtype)
+                    phi = wv_c * v
+                    gphi = dwv_c * v[:, None] + wv_c[:, None] * gv
+                    phi_norm = jnp.mean(phi ** 2)
+                    Bj = model.factor.jet(Xw)
+                    base = linear_functional_coefficients(
+                        Bj, b0=0.5 * gphi, e1=Bj.value, e2=Bj.value * phi)
+                    pde_w, aux = fused_u_loss(
+                        u_params, E_fix, Xw, base, phi_norm)
+                    # u forward for the quadrature terms (same rules as
+                    # the XLA path: jitter rides the lattice, resample
+                    # keeps the fixed grid)
+                    if cfg.grid_jitter:
+                        u, Xq = model.apply_batch(u_params, Xw), Xw
+                    else:
+                        u, Xq = model.apply_batch(u_params, X), None
+                    terms = {"pde": aux["pde_loss"], "drm": jnp.asarray(0.0)}
+                    terms.update(shared_terms(u_params, u, dtype, Xq=Xq))
+                    total = pde_w + sum(
+                        w[k] * terms[k] for k in w if k != "pde")
+                    return total, terms
+
+                return u_loss_fn, v_loss_fn
+
             def v_loss_fn(v_params, u_params, key):
                 loss_pde, _, _ = wan_pde(u_params, v_params, key, dtype)
                 return -jnp.log(loss_pde + 1e-8)
@@ -490,12 +597,14 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             cfg.lr, schedule=cfg.lr_schedule, total_steps=cfg.epochs,
             decay_steps=cfg.lr_decay_steps, final_scale=cfg.lr_final_scale,
         )
-        if cfg.jet_impl == "pallas-fused":
+        if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
             # One-pass fused loss+grad kernel on the Helmholtz residual
             # r = lap u + k^2 u (u = B*net; coefficients from the factor
             # jet, fixed grid).  Replaces IPW_2D.py:210-222's per-direction
             # second-order autograd passes; the f32 phases only — the bf16
             # bulk phase keeps the XLA stream path (kernels are f32-in).
+            # (DRM rides the fused Rayleigh custom_vjp through loss_terms
+            # instead — see make_loss_terms above.)
             from ..kernels import fused_linear_residual, residual_coefficients
 
             coef_fused = residual_coefficients(

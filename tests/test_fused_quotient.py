@@ -304,3 +304,64 @@ def test_fused_wan_under_jit_and_scan():
     v = np.asarray(vals)
     assert np.all(np.isfinite(v))
     assert v[-1] <= v[0]      # 5 adam steps should not increase the loss
+
+
+# --------------------------------------------------------- end-to-end wiring
+def test_ipw2d_drm_fused_matches_xla():
+    """IPW-2D DRM via the fused Rayleigh quotient: same first-epoch loss
+    as the XLA path, trains to a finite rel-L2."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    base = dict(nx=1, ny=1, method="DRM", epochs=40, grid_n=24,
+                data_grid_n=8, n_boundary=16, layers=(2, 16, 16, 1),
+                chunk=20, seed=0)
+    a = train_ipw_2d(IPW2DConfig(jet_impl="xla", **base))
+    b = train_ipw_2d(IPW2DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(b["history"]["total"][-1],
+                               a["history"]["total"][-1], rtol=1e-2)
+    assert np.isfinite(b["rel_l2"])
+
+
+@pytest.mark.parametrize("minimax", ["alternating", "extragradient"])
+def test_ipw2d_wan_fused_matches_xla(minimax):
+    """IPW-2D WAN via the two-pass fused u/v objectives: the fused minimax
+    trajectory tracks the XLA one (same loss definitions, same PRNG
+    stream) — including through the extragradient update rule."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    base = dict(nx=1, ny=1, method="WAN", epochs=20, grid_n=16,
+                data_grid_n=8, n_boundary=16, layers=(2, 16, 16, 1),
+                v_layers=(2, 12, 12, 1), v_steps=2, chunk=10,
+                minimax=minimax, seed=0)
+    a = train_ipw_2d(IPW2DConfig(jet_impl="xla", **base))
+    b = train_ipw_2d(IPW2DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b["history"]["total"]),
+                               np.asarray(a["history"]["total"]),
+                               rtol=5e-2)
+    assert np.isfinite(b["rel_l2"])
+
+
+def test_ipw2d_wan_fused_grid_jitter():
+    """Fused WAN composes with the Cranley–Patterson grid jitter (the
+    north-star winner's quadrature)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    r = train_ipw_2d(IPW2DConfig(
+        nx=1, ny=1, method="WAN", epochs=10, grid_n=16, data_grid_n=8,
+        n_boundary=16, layers=(2, 16, 16, 1), v_layers=(2, 12, 12, 1),
+        v_steps=2, chunk=10, grid_jitter=True, jet_impl="pallas-fused",
+        seed=0))
+    assert np.isfinite(r["rel_l2"])
+    assert np.all(np.isfinite(np.asarray(r["history"]["total"])))
+
+
+def test_ipw2d_wan_fused_rejects_multibump():
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    with pytest.raises(ValueError, match="multi-bump"):
+        train_ipw_2d(IPW2DConfig(method="WAN", n_test_grid=2,
+                                 jet_impl="pallas-fused"))

@@ -190,8 +190,6 @@ def test_ipw2d_fused_matches_xla():
     np.testing.assert_allclose(b["history"]["total"][0],
                                a["history"]["total"][0], rtol=1e-4)
     assert np.isfinite(b["rel_l2"])
-    with pytest.raises(ValueError, match="PINN only"):
-        train_ipw_2d(IPW2DConfig(method="DRM", jet_impl="pallas-fused"))
 
 
 @pytest.mark.parametrize("lane_pack,technique", [(1, "FBC"), (2, "FBC"),
