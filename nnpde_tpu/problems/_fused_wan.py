@@ -1,0 +1,85 @@
+"""Shared wiring for the two-pass fused WAN objectives.
+
+Every WAN trainer in the reference has the same shape — primal weak form
+``wr^2/(mean(phi^2)+eps)`` against a bump-windowed critic ``phi = w * v``
+(IPW_1D_WAN.py:88-115, QHO_1D_WAN.py:115-140, QHO_2D.py:204-225,
+KH_1D.py:244-269) — so the fused u/v objective construction
+(:mod:`nnpde_tpu.kernels.fused_quotient`) is factored here once:
+
+* the primal coefficients are the weak functional of the u-jet with the
+  critic's ``(phi, grad phi)`` as per-point data;
+* the critic coefficients are the weak functional of the v-jet with the
+  u-jet as data and ``bump x critic-trial-factor`` as the effective factor;
+* trainable eigenvalues stay exact: E is an explicit argument whose
+  gradient comes from the in-kernel ``sum u*phi`` lane.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..kernels import (
+    linear_functional_coefficients,
+    make_fused_wan_u,
+    make_fused_wan_v,
+)
+from ..ops.fwdlap import Jet
+
+
+def factor_jet_or_one(model, X):
+    """The model's trial-factor jet, or the identity jet (B = 1) for raw
+    nets (technique 'BC'/'RAW')."""
+    if model.factor is None:
+        one = jnp.ones((X.shape[0],), X.dtype)
+        return Jet(one, jnp.zeros_like(X), jnp.zeros_like(one))
+    return model.factor.jet(X)
+
+
+def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
+                        prefactor: float = 0.5,
+                        convention: str = "wr2_over_norm",
+                        eps: float = 1e-8, objective: str = "neg_log",
+                        log_eps: float = 1e-8, impl: str = "pallas",
+                        **call_kw):
+    """Build the fused ``(u_pde_fn, v_loss_fn)`` pair.
+
+    * ``u_pde_fn(u_net_params, E, v_params, X, wv, dwv, V=None)`` returns
+      ``(w_pde * pde_loss, aux)`` — differentiable w.r.t. the net params
+      AND E (fixed-E problems just pass a constant).
+    * ``v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None)`` returns
+      ``(loss_v, aux)`` — differentiable w.r.t. ``v_params``.
+
+    ``wv``/``dwv`` are the bump window and its gradient on ``X``
+    (:func:`nnpde_tpu.ops.bump_w`); ``V`` the per-point potential.
+    """
+    fused_u = make_fused_wan_u(
+        u_model.spec.activation, convention=convention, eps=eps,
+        w_pde=w_pde, w_norm=0.0, **call_kw)
+    fused_v = make_fused_wan_v(
+        v_model.spec.activation, convention=convention, eps=eps,
+        objective=objective, log_eps=log_eps, **call_kw)
+
+    def u_pde_fn(u_net_params, E, v_params, X, wv, dwv, V=None):
+        v, gv = v_model.value_and_grad(v_params, X, impl=impl)
+        phi = wv * v
+        gphi = dwv * v[:, None] + wv[:, None] * gv
+        phi_norm = jnp.mean(phi ** 2)
+        Bu = factor_jet_or_one(u_model, X)
+        c0 = None if V is None else V * phi
+        base = linear_functional_coefficients(
+            Bu, c0=c0, b0=prefactor * gphi, e1=Bu.value,
+            e2=Bu.value * phi)
+        return fused_u(u_net_params, E, X, base, phi_norm)
+
+    def v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None):
+        u, gu = u_model.value_and_grad(u_net_params, X, impl=impl)
+        Bv = factor_jet_or_one(v_model, X)
+        Wm = wv * Bv.value
+        gWm = dwv * Bv.value[:, None] + wv[:, None] * Bv.grad
+        wjet = Jet(Wm, gWm, jnp.zeros_like(Wm))
+        c0 = (V - E) * u if V is not None else -E * u
+        coef = linear_functional_coefficients(
+            wjet, c0=c0, b0=prefactor * gu, e1=Wm)
+        return fused_v(v_params, X, coef)
+
+    return u_pde_fn, v_loss_fn

@@ -78,11 +78,6 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         raise ValueError("method must be 'PINN' or 'DRM'")
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
-        )
     if cfg.technique not in ("BC", "FBC", "FN", "OG"):
         raise ValueError(
             f"Unknown technique: {cfg.technique}. Choose 'BC', 'FBC', 'FN', or 'OG'."
@@ -111,7 +106,33 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         "norm": 1.0 if cfg.method == "PINN" else 0.0,
     }
 
+    # fused eigen-DRM: the two-pass Rayleigh custom_vjp
+    # (kernels/fused_quotient.py); weight 2x converts the kernel's
+    # 1/2|grad|^2 numerator to the IPW convention (IPW_1D_PINN_DRM.py:85-90)
+    fused_drm = cfg.method == "DRM" and cfg.jet_impl == "pallas-fused"
+    if fused_drm:
+        from ..kernels import make_fused_rayleigh, quotient_coefficients
+        from ._fused_wan import factor_jet_or_one
+
+        ray_loss = make_fused_rayleigh(
+            model.spec.activation, weight=2.0 * w["drm"])
+        coef_ray = quotient_coefficients(factor_jet_or_one(model, x_grid))
+
     def loss_terms(params):
+        if fused_drm:
+            total_ray, aux_ray = ray_loss(params, x_grid, coef_ray)
+            u = model.apply_batch(params, x_grid)
+            terms = {
+                "data": data_mse(model.apply_batch(params, x_data), u_data),
+                "norm": norm_pointwise(u),
+                "pde": jnp.asarray(0.0),
+                "drm": 2.0 * aux_ray["rayleigh"],
+                "bc": jnp.mean(model.apply_batch(params, x_bc) ** 2),
+                "orth": orthogonal_projection(u, lower, L),
+            }
+            total = total_ray + sum(
+                w[k] * terms[k] for k in w if k not in ("drm", "pde"))
+            return total, terms
         # compute only the active method's operator: the fused jet (with its
         # backward) for PINN, the cheaper value+grad for DRM
         if w["pde"] > 0:
@@ -146,9 +167,10 @@ def train_ipw_1d(cfg: IPW1DConfig) -> Dict:
         u = model.apply_batch(params, x_grid)
         return jnp.mean((u - u_exact) ** 2)
 
-    if cfg.jet_impl == "pallas-fused":
+    if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
         # one-pass fused loss+grad on r = lap u + k^2 u (u = B*net, or the
         # raw net for technique 'BC'); aux terms ride plain autodiff
+        # (DRM rides the fused Rayleigh custom_vjp through loss_terms)
         from ..kernels import fused_linear_residual, residual_coefficients
         from ..ops.fwdlap import constant_jet
 
@@ -239,6 +261,9 @@ class IPW1DWanConfig:
     seed: int = 0
     chunk: int = 500
     fn_variant: bool = False          # True -> IPW_1D_WAN_FN weight table
+    # 'pallas-fused': two-pass fused u/v objectives
+    # (kernels/fused_quotient.py) — weak form + masses in-kernel
+    jet_impl: str = "xla"
 
 
 def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
@@ -274,6 +299,14 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
     # bump w and its derivative are fixed on the static grid — precompute
     wv_const, dwv_const = bump_w(x_grid, 0.0, L)
 
+    fused = cfg.jet_impl == "pallas-fused"
+    if fused:
+        from ._fused_wan import make_fused_wan_pair
+
+        u_pde_fn, v_pde_fn = make_fused_wan_pair(
+            u_model, v_model, w_pde=w["pde"])
+        E_fix = jnp.asarray(E, jnp.float32)
+
     def wan_pde(u_params, v_params):
         u, gu = u_model.value_and_grad(u_params, x_grid)
         v, gv = v_model.value_and_grad(v_params, x_grid)
@@ -285,17 +318,29 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
         return loss_pde, u
 
     def v_loss_fn(v_params, u_params, key):
+        if fused:
+            lv, _ = v_pde_fn(v_params, u_params, E_fix, x_grid,
+                             wv_const, dwv_const)
+            return lv
         loss_pde, _ = wan_pde(u_params, v_params)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):
-        loss_pde, u = wan_pde(u_params, v_params)
+        if fused:
+            pde_w, aux = u_pde_fn(u_params, E_fix, v_params, x_grid,
+                                  wv_const, dwv_const)
+            loss_pde = aux["pde_loss"]
+            u = u_model.apply_batch(u_params, x_grid)
+            pde_term = pde_w            # already w['pde']-scaled
+        else:
+            loss_pde, u = wan_pde(u_params, v_params)
+            pde_term = w["pde"] * loss_pde
         norm = norm_integral(u, L)
         data = data_mse(u_model.apply_batch(u_params, x_data), u_data)
         bc = jnp.mean(u_model.apply_batch(u_params, x_bc) ** 2)
         orth = orthogonal_projection(u, lower, L, eps=0.0) if n > 1 else jnp.asarray(0.0)
         total = (
-            w["pde"] * loss_pde + w["norm"] * norm + w["orth"] * orth
+            pde_term + w["norm"] * norm + w["orth"] * orth
             + w["data"] * data + w["bc"] * bc
         )
         return total, {"pde": loss_pde, "norm": norm, "data": data, "bc": bc,

@@ -34,16 +34,9 @@ from ..losses.zoo import (
     wan_pde_loss,
     wan_weak_residual,
 )
-from ..kernels import (
-    linear_functional_coefficients,
-    make_fused_rayleigh,
-    make_fused_wan_u,
-    make_fused_wan_v,
-    quotient_coefficients,
-)
+from ..kernels import make_fused_rayleigh, quotient_coefficients
 from ..models import NetSpec, SolutionModel, factor_for_technique
 from ..ops import bump_w
-from ..ops.fwdlap import Jet
 from ..ops.quadrature import sign_aware_mse
 from ..pde import ipw as phys
 from ..sampling import meshgrid_2d
@@ -456,41 +449,24 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         # standard path (they need u forwards at reflected points anyway).
         fused_wan = cfg.jet_impl == "pallas-fused"
         if fused_wan:
-            fused_u_loss = make_fused_wan_u(
-                model.spec.activation, eps=1e-8, vol=L * L,
-                w_pde=w["pde"], w_norm=0.0)
-            fused_v_loss = make_fused_wan_v(
-                v_model.spec.activation, eps=1e-8, objective="neg_log",
-                log_eps=1e-8)
+            from ._fused_wan import make_fused_wan_pair
+
+            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+                model, v_model, w_pde=w["pde"])
             E_fix = jnp.asarray(E, jnp.float32)
 
         def make_wan_losses(dtype):
             if fused_wan and dtype == "float32":
                 def v_loss_fn(v_params, u_params, key):
                     Xw, wv_c, dwv_c = pick_points(key)
-                    u, gu = net_vg(model, u_params, Xw, dtype)
-                    # the critic's effective multiplier is bump x its own
-                    # trial factor: phi = (w * B_v) * net_v
-                    Bv = v_model.factor.jet(Xw)
-                    Wm = wv_c * Bv.value
-                    gWm = dwv_c * Bv.value[:, None] + wv_c[:, None] * Bv.grad
-                    wjet = Jet(value=Wm, grad=gWm, lap=jnp.zeros_like(Wm))
-                    coef = linear_functional_coefficients(
-                        wjet, c0=-E * u, b0=0.5 * gu, e1=Wm)
-                    lv, _ = fused_v_loss(v_params, Xw, coef)
+                    lv, _ = v_pde_fn(v_params, u_params, E_fix, Xw,
+                                     wv_c, dwv_c)
                     return lv
 
                 def u_loss_fn(u_params, v_params, key):
                     Xw, wv_c, dwv_c = pick_points(key)
-                    v, gv = net_vg(v_model, v_params, Xw, dtype)
-                    phi = wv_c * v
-                    gphi = dwv_c * v[:, None] + wv_c[:, None] * gv
-                    phi_norm = jnp.mean(phi ** 2)
-                    Bj = model.factor.jet(Xw)
-                    base = linear_functional_coefficients(
-                        Bj, b0=0.5 * gphi, e1=Bj.value, e2=Bj.value * phi)
-                    pde_w, aux = fused_u_loss(
-                        u_params, E_fix, Xw, base, phi_norm)
+                    pde_w, aux = u_pde_fn(u_params, E_fix, v_params, Xw,
+                                          wv_c, dwv_c)
                     # u forward for the quadrature terms (same rules as
                     # the XLA path: jitter rides the lattice, resample
                     # keeps the fixed grid)

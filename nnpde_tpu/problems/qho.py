@@ -84,11 +84,6 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
         raise ValueError("method must be 'PINN' or 'DRM'")
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
-        )
     if cfg.technique not in ("BC", "OG", "FN"):
         raise ValueError(
             f"Unknown technique: {cfg.technique}. Choose 'BC', 'OG', or 'FN'."
@@ -126,7 +121,36 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
     # (QHO_1D_PINN_DRM.py:207-209 with domain_length = 2 * X_max).
     orth_volume = 4.0 * x_max
 
+    # fused eigen-DRM: two-pass Rayleigh quotient WITH the potential
+    # (QHO_1D_PINN_DRM.py:176-185)
+    fused_drm = cfg.method == "DRM" and cfg.jet_impl == "pallas-fused"
+    if fused_drm:
+        from ..kernels import make_fused_rayleigh, quotient_coefficients
+        from ._fused_wan import factor_jet_or_one
+
+        ray_loss = make_fused_rayleigh(
+            model.spec.activation, weight=w["drm"])
+        coef_ray = quotient_coefficients(
+            factor_jet_or_one(model, x_grid), V=V)
+
     def loss_terms(params):
+        if fused_drm:
+            total_ray, aux_ray = ray_loss(params, x_grid, coef_ray)
+            u = model.apply_batch(params, x_grid)
+            terms = {
+                "data": data_mse(model.apply_batch(params, x_data), u_data),
+                "bc": data_mse(model.apply_batch(params, x_bc),
+                               jnp.zeros((2,))),
+                "pde": jnp.asarray(0.0),
+                "drm": aux_ray["rayleigh"],
+                "norm": norm_trapezoid(u, dx),
+                "orth": orthogonal_projection(u, lower, orth_volume,
+                                              eps=0.0)
+                if n > 0 else jnp.asarray(0.0),
+            }
+            total = total_ray + sum(
+                w[k] * terms[k] for k in w if k not in ("drm", "pde"))
+            return total, terms
         # compute only the active method's operator (jet for PINN, grad for DRM)
         if w["pde"] > 0:
             jet = model.fields(
@@ -168,9 +192,10 @@ def train_qho_1d(cfg: QHO1DConfig) -> Dict:
             max_iter=cfg.lbfgs_iters,
         )
     else:
-        if cfg.jet_impl == "pallas-fused":
+        if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
             # one-pass fused loss+grad on r = -1/2 lap u + (V - E) u
             # (fixed exact E, QHO_1D_PINN_DRM.py:173); aux terms on autodiff
+            # (DRM rides the fused Rayleigh custom_vjp through loss_terms)
             from ..kernels import fused_linear_residual, residual_coefficients
             from ..ops.fwdlap import constant_jet
 
@@ -267,6 +292,9 @@ class QHO1DWanConfig:
     lr_decay_steps: int = 0         # decay-then-hold horizon (train/optim.py)
     seed: int = 0
     chunk: int = 500
+    # 'pallas-fused': two-pass fused u/v objectives with the exact
+    # trainable-E gradient from the in-kernel sum(u*phi) lane
+    jet_impl: str = "xla"
 
 
 def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
@@ -307,6 +335,13 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
 
     wv_const, dwv_const = bump_w(x_grid, -x_max, x_max)
 
+    fused = cfg.jet_impl == "pallas-fused"
+    if fused:
+        from ._fused_wan import make_fused_wan_pair
+
+        u_pde_fn, v_pde_fn = make_fused_wan_pair(
+            u_model, v_model, w_pde=w["pde"])
+
     def wan_pde(u_params, v_params):
         u, gu = u_model.value_and_grad(u_params["net"], x_grid)
         v, gv = v_model.value_and_grad(v_params, x_grid)
@@ -319,11 +354,24 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         return wan_pde_loss(weak, phi_norm), u
 
     def v_loss_fn(v_params, u_params, key):
+        if fused:
+            lv, _ = v_pde_fn(v_params, u_params["net"], u_params["E"],
+                             x_grid, wv_const, dwv_const, V=V)
+            return lv
         loss_pde, _ = wan_pde(u_params, v_params)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):
-        loss_pde, u = wan_pde(u_params, v_params)
+        if fused:
+            # E is a primal pytree leaf — its exact gradient rides the
+            # custom VJP's u*phi lane (QHO_1D_WAN.py:101,131)
+            pde_w, aux = u_pde_fn(u_params["net"], u_params["E"], v_params,
+                                  x_grid, wv_const, dwv_const, V=V)
+            loss_pde = aux["pde_loss"]
+            u = u_model.apply_batch(u_params["net"], x_grid)
+        else:
+            loss_pde, u = wan_pde(u_params, v_params)
+            pde_w = w["pde"] * loss_pde
         norm = norm_integral(u, volume)
         data = data_mse(u_model.apply_batch(u_params["net"], x_data), u_data)
         bc = jnp.mean(u_model.apply_batch(u_params["net"], x_bc) ** 2)
@@ -333,7 +381,7 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
             else jnp.asarray(0.0)
         )
         total = (
-            w["pde"] * loss_pde + w["norm"] * norm + w["orth"] * orth
+            pde_w + w["norm"] * norm + w["orth"] * orth
             + w["data"] * data + w["bc"] * bc
         )
         return total, {

@@ -365,3 +365,59 @@ def test_ipw2d_wan_fused_rejects_multibump():
     with pytest.raises(ValueError, match="multi-bump"):
         train_ipw_2d(IPW2DConfig(method="WAN", n_test_grid=2,
                                  jet_impl="pallas-fused"))
+
+
+def test_ipw1d_drm_and_wan_fused_match_xla():
+    """1D well: fused DRM Rayleigh + fused WAN u/v vs the XLA paths."""
+    from nnpde_tpu.problems.ipw import (
+        IPW1DConfig, IPW1DWanConfig, train_ipw_1d, train_ipw_1d_wan,
+    )
+
+    base = dict(n=1, method="DRM", technique="FBC", epochs=40, grid_n=128,
+                layers=(1, 16, 16, 1), chunk=20, seed=0)
+    a = train_ipw_1d(IPW1DConfig(jet_impl="xla", **base))
+    b = train_ipw_1d(IPW1DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    assert np.isfinite(b["L2_error"])
+
+    wbase = dict(n=1, technique="FN", fn_variant=True, epochs=15,
+                 grid_n=128, layers=(1, 16, 16, 1),
+                 v_layers=(1, 12, 12, 1), v_steps=2, chunk=5, seed=0)
+    aw = train_ipw_1d_wan(IPW1DWanConfig(jet_impl="xla", **wbase))
+    bw = train_ipw_1d_wan(IPW1DWanConfig(jet_impl="pallas-fused", **wbase))
+    np.testing.assert_allclose(bw["history"]["total"][0],
+                               aw["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bw["history"]["total"]),
+                               np.asarray(aw["history"]["total"]),
+                               rtol=5e-2)
+
+
+def test_qho1d_wan_fused_trainable_E_matches_xla():
+    """QHO-1D WAN: the trainable-E trajectory through the fused custom VJP
+    tracks the XLA path (exact dE from the u*phi lane)."""
+    from nnpde_tpu.problems.qho import QHO1DWanConfig, train_qho_1d_wan
+
+    base = dict(n=0, epochs=15, grid_n=128, layers=(1, 16, 16, 1),
+                v_layers=(1, 12, 12, 1), v_steps=2, chunk=5, seed=0)
+    a = train_qho_1d_wan(QHO1DWanConfig(jet_impl="xla", **base))
+    b = train_qho_1d_wan(QHO1DWanConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b["history"]["E"]),
+                               np.asarray(a["history"]["E"]), rtol=1e-4)
+
+
+def test_qho1d_drm_fused_matches_xla():
+    """QHO-1D DRM: fused Rayleigh WITH the potential term."""
+    from nnpde_tpu.problems.qho import QHO1DConfig, train_qho_1d
+
+    base = dict(n=0, method="DRM", technique="FN", epochs=40, grid_n=128,
+                layers=(1, 16, 16, 1), chunk=20, seed=0)
+    a = train_qho_1d(QHO1DConfig(jet_impl="xla", **base))
+    b = train_qho_1d(QHO1DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(b["history"]["drm"][0],
+                               a["history"]["drm"][0], rtol=1e-4)
+    assert np.isfinite(b["L2_error"])
