@@ -169,10 +169,6 @@ def sweep_qho_2d_energy(
                 # method but only PINN consumes it (QHO_2D_Energy.py:287,
                 # 382); we make that explicit — DRM/WAN train with fixed E
                 ov = dict(overrides)
-                if method != "PINN" and ov.get("jet_impl") == "pallas-fused":
-                    # the fused kernel covers the strong residual only —
-                    # DRM/WAN legs of the sweep fall back rather than raise
-                    ov["jet_impl"] = "xla"
                 cfg = QHO2DConfig(
                     nx=nx, ny=ny, method=method, technique=technique,
                     epochs=epochs, trainable_energy=(method == "PINN"),

@@ -81,11 +81,6 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
         raise ValueError("method must be 'PINN' | 'DRM' | 'WAN'")
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
-        )
     L = gt.L
     n = cfg.n
     model = _u_model(cfg, L)
@@ -138,9 +133,39 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
         return sign_aware_mse(u, psi_n)
 
     if cfg.method in ("PINN", "DRM"):
+        # fused eigen-DRM: two-pass Rayleigh with V; KH's integral-mean
+        # +1e-12 denominator (KH_1D.py:239-241) rescales to a plain-mean
+        # den_eps of 1e-12/(2L)
+        fused_drm = cfg.method == "DRM" and cfg.jet_impl == "pallas-fused"
+        if fused_drm:
+            from ..kernels import make_fused_rayleigh, quotient_coefficients
+            from ._fused_wan import factor_jet_or_one
+
+            ray_loss = make_fused_rayleigh(
+                model.spec.activation, weight=1.0,
+                den_eps=1e-12 / (2.0 * L))
+            coef_ray = quotient_coefficients(
+                factor_jet_or_one(model, X), V=V_train)
 
         def loss_fn(params, key):
             net_p = params["net"]
+            if fused_drm:
+                core, aux_ray = ray_loss(net_p, X, coef_ray)
+                u = model.apply_batch(net_p, X)
+                E_tracked = aux_ray["rayleigh"]   # aux: no grad flows (the
+                # same semantics as stop_gradient(core) on the XLA path)
+                data, orth, bc, parity = common_terms(net_p, u)
+                norm_pen = norm_integral(u, 2.0 * L)
+                total = (
+                    cfg.lambda_pde * core + cfg.lambda_data * data
+                    + cfg.lambda_orth * orth + cfg.lambda_norm * norm_pen
+                    + cfg.lambda_bc * bc + cfg.lambda_parity * parity
+                )
+                return total, {
+                    "pde": core, "data": data, "orth": orth,
+                    "norm": norm_pen, "bc": bc, "parity": parity,
+                    "E": E_tracked,
+                }
             if cfg.method == "PINN":
                 jet = model.fields(
                     net_p, X,
@@ -168,7 +193,7 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
                 "bc": bc, "parity": parity, "E": E_tracked,
             }
 
-        if cfg.jet_impl == "pallas-fused":
+        if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
             # One-pass fused loss+grad kernel on r = -1/2 lap u + (V - E) u
             # with u = B*net (B = exp window, or 1 for RAW); coefficients
             # rebuilt per step only through the trainable E; dL/dE from the
@@ -231,6 +256,20 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
         v_model = SolutionModel(NetSpec(tuple(cfg.v_layers), activation="sin"))
         v_params = v_model.init(jax.random.fold_in(key, 9))
 
+        # fused WAN: KH's ratio-squared convention with integral-mean
+        # normalisation rescales to plain means with eps = 1e-12/(2L)
+        # (num and den both carry the 2L volume); direct-ascent critic
+        fused_wan = cfg.jet_impl == "pallas-fused"
+        if fused_wan:
+            from ..ops import bump_w
+            from ._fused_wan import make_fused_wan_pair
+
+            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+                model, v_model, w_pde=cfg.lambda_pde,
+                convention="ratio_sq", eps=1e-12 / (2.0 * L),
+                objective="neg")
+            wv_kh, dwv_kh = bump_w(X, -L, L)
+
         def wan_pde(params, v_params):
             u, gu = model.value_and_grad(params["net"], X)
             v, gv = v_model.value_and_grad(v_params, X)
@@ -250,15 +289,27 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             return pde, u
 
         def v_loss_fn(v_params, u_params, key):
+            if fused_wan:
+                lv, _ = v_pde_fn(v_params, u_params["net"], u_params["E"],
+                                 X, wv_kh, dwv_kh, V=V_train)
+                return lv
             pde, _ = wan_pde(u_params, v_params)
             return -pde                          # direct ascent (KH_1D.py:347-350)
 
         def u_loss_fn(u_params, v_params, key):
-            pde, u = wan_pde(u_params, v_params)
+            if fused_wan:
+                pde_w, aux = u_pde_fn(u_params["net"], u_params["E"],
+                                      v_params, X, wv_kh, dwv_kh,
+                                      V=V_train)
+                pde = aux["pde_loss"]
+                u = model.apply_batch(u_params["net"], X)
+            else:
+                pde, u = wan_pde(u_params, v_params)
+                pde_w = cfg.lambda_pde * pde
             norm_u = norm_integral(u, 2.0 * L)
             data, orth, bc, parity = common_terms(u_params["net"], u)
             total = (
-                cfg.lambda_pde * pde + cfg.lambda_norm * norm_u
+                pde_w + cfg.lambda_norm * norm_u
                 + cfg.lambda_data * data + cfg.lambda_orth * orth
                 + cfg.lambda_bc * bc + cfg.lambda_parity * parity
             )
@@ -349,11 +400,9 @@ def run_compare(cfg: KHCompareConfig) -> List[dict]:
                 max_data_points=cfg.max_data_points,
                 v_layers=cfg.v_layers, v_steps=cfg.v_steps,
                 train_n=cfg.train_n, seed=cfg.seed, chunk=cfg.chunk,
-                # the fused kernel covers the strong residual only — the
-                # DRM/WAN legs fall back (same rule as sweeps.py)
-                jet_impl=("xla" if method != "PINN"
-                          and cfg.jet_impl == "pallas-fused"
-                          else cfg.jet_impl),
+                # every leg is fused now: one-pass kernel for the PINN
+                # residual, two-pass quotient kernels for DRM and WAN
+                jet_impl=cfg.jet_impl,
             )
             res = train_kh(run_cfg, gt, x_train=x_train)
             elapsed = time.time() - t0

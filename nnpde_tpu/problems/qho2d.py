@@ -122,11 +122,6 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         )
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
-        )
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
 
     u_model = SolutionModel(
@@ -220,8 +215,28 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         if use_E_param:
             params["E"] = jnp.asarray(E_exact)
 
+        # fused eigen-DRM: two-pass Rayleigh with the 2D oscillator
+        # potential (QHO_2D.py:380-384)
+        fused_drm = cfg.method == "DRM" and cfg.jet_impl == "pallas-fused"
+        if fused_drm:
+            from ..kernels import make_fused_rayleigh, quotient_coefficients
+
+            ray_loss = make_fused_rayleigh(
+                u_model.spec.activation, weight=1.0, den_eps=1e-8)
+            coef_ray = quotient_coefficients(u_model.factor.jet(X), V=V)
+
         def loss_fn(params, key):
             net_p = params["net"]
+            if fused_drm:
+                drm, aux_ray = ray_loss(net_p, X, coef_ray)
+                u = u_model.apply_batch(net_p, X)
+                terms = {"pde": jnp.asarray(0.0),
+                         "drm": aux_ray["rayleigh"],
+                         "norm": jnp.asarray(0.0)}
+                terms.update(shared_terms(net_p, u))
+                total = w["drm"] * drm + sum(
+                    w[k] * terms[k] for k in w if k not in ("drm", "pde"))
+                return total, dict(terms)
             if cfg.method == "PINN":
                 jet = u_model.fields(
                     net_p, X,
@@ -246,7 +261,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         def eval_fn(params, key):
             return eval_fn_net(params["net"])
 
-        if cfg.jet_impl == "pallas-fused":
+        if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
             # One-pass fused loss+grad kernel on the strong residual
             # r = -1/2 lap u + (V - E) u with u = B*net — coefficients from
             # the (fixed) window-factor jet, rebuilt per step only through
@@ -347,6 +362,15 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
         v_params = v_model.init(jax.random.fold_in(key, 9))
         wv_const, dwv_const = bump_w(X, -L, L)
 
+        # two-pass fused WAN objectives (fixed exact E, QHO_2D.py:204-225)
+        fused_wan = cfg.jet_impl == "pallas-fused"
+        if fused_wan:
+            from ._fused_wan import make_fused_wan_pair
+
+            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+                u_model, v_model, w_pde=w["pde"])
+            E_fix = jnp.asarray(E_exact, jnp.float32)
+
         def wan_pde(u_params, v_params):
             u, gu = u_model.value_and_grad(u_params["net"], X)
             v, gv = v_model.value_and_grad(v_params, X)
@@ -359,18 +383,29 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             return wan_pde_loss(weak, phi_norm), u
 
         def v_loss_fn(v_params, u_params, key):
+            if fused_wan:
+                lv, _ = v_pde_fn(v_params, u_params["net"], E_fix, X,
+                                 wv_const, dwv_const, V=V)
+                return lv
             loss_pde, _ = wan_pde(u_params, v_params)
             return -jnp.log(loss_pde + 1e-8)
 
         def u_loss_fn(u_params, v_params, key):
-            loss_pde, u = wan_pde(u_params, v_params)
+            if fused_wan:
+                pde_w, aux = u_pde_fn(u_params["net"], E_fix, v_params, X,
+                                      wv_const, dwv_const, V=V)
+                loss_pde = aux["pde_loss"]
+                u = u_model.apply_batch(u_params["net"], X)
+            else:
+                loss_pde, u = wan_pde(u_params, v_params)
+                pde_w = w["pde"] * loss_pde
             terms = {
                 "pde": loss_pde,
                 "drm": jnp.asarray(0.0),
                 "norm": norm_integral(u, 4.0 * L * L),
             }
             terms.update(shared_terms(u_params["net"], u))
-            total = sum(w[k] * terms[k] for k in w)
+            total = pde_w + sum(w[k] * terms[k] for k in w if k != "pde")
             return total, terms
 
         def eval_fn(u_params, key):

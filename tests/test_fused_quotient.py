@@ -421,3 +421,57 @@ def test_qho1d_drm_fused_matches_xla():
     np.testing.assert_allclose(b["history"]["drm"][0],
                                a["history"]["drm"][0], rtol=1e-4)
     assert np.isfinite(b["L2_error"])
+
+
+def test_qho2d_drm_and_wan_fused_match_xla():
+    """QHO-2D: fused Rayleigh (with V) and fused WAN vs the XLA paths."""
+    from nnpde_tpu.problems.qho2d import QHO2DConfig, train_qho_2d
+
+    base = dict(nx=1, ny=0, method="DRM", technique="FN", epochs=30,
+                grid_n=20, data_grid_n=8, n_boundary=16,
+                layers=(2, 16, 16, 1), chunk=15, seed=0)
+    a = train_qho_2d(QHO2DConfig(jet_impl="xla", **base))
+    b = train_qho_2d(QHO2DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    assert np.isfinite(b["L2_error"])
+
+    wbase = dict(nx=1, ny=0, method="WAN", technique="FN", epochs=12,
+                 grid_n=20, data_grid_n=8, n_boundary=16,
+                 layers=(2, 16, 16, 1), v_layers=(2, 12, 12, 1),
+                 v_steps=2, chunk=4, seed=0)
+    aw = train_qho_2d(QHO2DConfig(jet_impl="xla", **wbase))
+    bw = train_qho_2d(QHO2DConfig(jet_impl="pallas-fused", **wbase))
+    np.testing.assert_allclose(bw["history"]["total"][0],
+                               aw["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bw["history"]["total"]),
+                               np.asarray(aw["history"]["total"]),
+                               rtol=5e-2)
+
+
+def test_kh_drm_and_wan_fused_match_xla():
+    """KH: fused Rayleigh with the cycle-averaged potential (integral-mean
+    eps rescaled) and fused WAN with ratio_sq + direct-ascent critic and
+    trainable E."""
+    from nnpde_tpu.pde.kh import KHGroundTruth
+    from nnpde_tpu.problems.kh import KHConfig, train_kh
+
+    gt = KHGroundTruth(alpha=10.0, L=20.0, N=400, n_levels=2)
+    base = dict(method="DRM", n=0, epochs=30, train_n=128,
+                layers=(1, 16, 16, 1), chunk=15, seed=0)
+    a = train_kh(KHConfig(jet_impl="xla", **base), gt)
+    b = train_kh(KHConfig(jet_impl="pallas-fused", **base), gt)
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(b["history"]["E"][0], a["history"]["E"][0],
+                               rtol=1e-4)
+
+    wbase = dict(method="WAN", n=0, epochs=12, train_n=128,
+                 layers=(1, 16, 16, 1), v_layers=(1, 12, 12, 1),
+                 v_steps=2, chunk=4, seed=0)
+    aw = train_kh(KHConfig(jet_impl="xla", **wbase), gt)
+    bw = train_kh(KHConfig(jet_impl="pallas-fused", **wbase), gt)
+    np.testing.assert_allclose(bw["history"]["total"][0],
+                               aw["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bw["history"]["E"]),
+                               np.asarray(aw["history"]["E"]), rtol=1e-3)

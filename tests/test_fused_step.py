@@ -171,11 +171,11 @@ def test_qho2d_fused_matches_xla_including_trainable_E():
     assert np.isfinite(b["L2_error"])
 
 
-def test_qho2d_fused_rejects_non_pinn():
+def test_qho2d_fused_rejects_bad_impl():
     from nnpde_tpu.problems.qho2d import QHO2DConfig, train_qho_2d
 
-    with pytest.raises(ValueError, match="PINN only"):
-        train_qho_2d(QHO2DConfig(method="DRM", jet_impl="pallas-fused"))
+    with pytest.raises(ValueError, match="jet_impl"):
+        train_qho_2d(QHO2DConfig(method="DRM", jet_impl="nope"))
 
 
 def test_ipw2d_fused_matches_xla():
