@@ -1,0 +1,88 @@
+"""WAN minimax step-rate A/B: XLA autodiff vs the two-pass fused kernels.
+
+Measures steady-state epochs/sec of the full compiled WAN epoch (v_steps
+critic updates + extragradient primal pair + in-step eval) at the
+north-star winner shape — IPW-2D n=(3,3), FN, grid 400^2, wide critic,
+EG + two-timescale (scripts/wan_floor.py ``winner_grid400_cos45k``) — for
+``jet_impl`` 'xla' vs 'pallas-fused' (kernels/fused_quotient.py).
+
+Compile time cancels by differencing two horizons of the same compiled
+chunk shape (the scan chunk is identical; only the chunk count differs,
+and the compilation cache carries across the two runs).
+
+Usage:
+  python scripts/bench_wan_step.py [--grid 400] [--impls xla,pallas-fused]
+      [--e1 200] [--e2 600] [--out artifacts/bench_wan_step.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(impl: str, grid: int, e1: int, e2: int, chunk: int):
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    def cfg(epochs):
+        return IPW2DConfig(
+            nx=3, ny=3, method="WAN", technique="FN", epochs=epochs,
+            lr_schedule="cosine", minimax="extragradient", v_lr=4e-3,
+            v_layers=(2, 100, 100, 100, 1), grid_n=grid,
+            weights={"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+            jet_impl=impl, chunk=chunk, seed=0,
+        )
+
+    t0 = time.time()
+    r1 = train_ipw_2d(cfg(e1))
+    t1 = time.time() - t0
+    t0 = time.time()
+    r2 = train_ipw_2d(cfg(e2))
+    t2 = time.time() - t0
+    eps = (e2 - e1) / max(t2 - t1, 1e-9)
+    if t2 - t1 < 0.5:
+        # horizons too short to difference away compile noise — lengthen
+        return {"impl": impl, "grid": grid,
+                "warning": f"non-separable timing (t1={t1:.2f}, t2={t2:.2f})"
+                           " — raise --e1/--e2"}
+    return {
+        "impl": impl, "grid": grid, "e1": e1, "e2": e2,
+        "t1_s": round(t1, 2), "t2_s": round(t2, 2),
+        "epochs_per_sec": round(eps, 3),
+        "pts_per_sec": round(eps * grid * grid, 1),
+        "l2_e2": float(r2["rel_l2"]) if "rel_l2" in r2 else None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=400)
+    ap.add_argument("--impls", default="xla,pallas-fused")
+    ap.add_argument("--e1", type=int, default=200)
+    ap.add_argument("--e2", type=int, default=600)
+    ap.add_argument("--chunk", type=int, default=200)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+
+    rows = []
+    for impl in a.impls.split(","):
+        row = run(impl.strip(), a.grid, a.e1, a.e2, a.chunk)
+        print(json.dumps(row))
+        rows.append(row)
+    if (len(rows) == 2
+            and all(r.get("epochs_per_sec", 0) > 0 for r in rows)):
+        speedup = rows[1]["epochs_per_sec"] / rows[0]["epochs_per_sec"]
+        print(json.dumps({"speedup_fused_over_xla": round(speedup, 3)}))
+    if a.out:
+        out = {"rows": rows, "shape": "ipw2d n33 WAN FN EG winner",
+               "grid": a.grid}
+        json.dump(out, open(a.out, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
