@@ -525,8 +525,25 @@ def _zeros_like_tree(t):
     return jax.tree_util.tree_map(jnp.zeros_like, t)
 
 
+def _global_sums(s, axis):
+    """psum the pass-A sums over the mesh axis/axes and scale n to the
+    global point count (equal shards under shard_map)."""
+    if axis is None:
+        return s, s["n"]
+    g = {k: (jax.lax.psum(v, axis) if k != "n" else v) for k, v in s.items()}
+    return g, s["n"] * jax.lax.psum(1, axis)
+
+
+def _global_grads(grads, axis):
+    """psum the pass-B per-shard gradient sums (the seed scalars already
+    carry the global 1/n, so the plain sum over all shards is exact)."""
+    if axis is None:
+        return grads
+    return jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+
+
 def make_fused_rayleigh(activation: str, *, weight: float = 1.0,
-                        den_eps: float = 0.0, **call_kw):
+                        den_eps: float = 0.0, axis=None, **call_kw):
     """Fused eigen-DRM Rayleigh quotient with custom VJP.
 
     Returns ``loss(params, X, coef) -> (loss, aux)`` computing
@@ -544,11 +561,12 @@ def make_fused_rayleigh(activation: str, *, weight: float = 1.0,
 
     def _fwd(params, X, coef):
         s = fused_quad_sums(params, X, coef, activation, **call_kw)
-        num = s["sum_e"] / s["n"]
-        den = s["sum_u2"] / s["n"]
+        s, n = _global_sums(s, axis)
+        num = s["sum_e"] / n
+        den = s["sum_u2"] / n
         q = num / (den + den_eps)
         aux = {"rayleigh": q, "mean_e": num, "mean_u2": den}
-        return (weight * q, aux), (params, X, coef, num, den, s["n"])
+        return (weight * q, aux), (params, X, coef, num, den, n)
 
     def _bwd(res, ct):
         params, X, coef, num, den, n = res
@@ -557,7 +575,8 @@ def make_fused_rayleigh(activation: str, *, weight: float = 1.0,
         s_q = -g * num / ((den + den_eps) ** 2 * n)
         grads = fused_quad_seeded_grads(params, X, coef, (s_e, s_q),
                                         activation, **call_kw)
-        return grads, jnp.zeros_like(X), jnp.zeros_like(coef)
+        return (_global_grads(grads, axis), jnp.zeros_like(X),
+                jnp.zeros_like(coef))
 
     loss.defvjp(_fwd, _bwd)
     return loss
@@ -577,7 +596,8 @@ def _wan_dp(convention, wr, pn, eps):
 
 def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
                      eps: float = 1e-8, vol: float = 1.0,
-                     w_pde: float = 1.0, w_norm: float = 0.0, **call_kw):
+                     w_pde: float = 1.0, w_norm: float = 0.0, axis=None,
+                     **call_kw):
     """Fused WAN primal (u) objective with custom VJP.
 
     Returns ``loss(params, E, X, base, phi_norm) -> (loss, aux)`` where
@@ -602,7 +622,7 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
     def _fwd(params, E, X, base, phi_norm):
         coef = base.at[:, 0].add(-E * base[:, -1])
         s = fused_linear_sums(params, X, coef, activation, **call_kw)
-        n = s["n"]
+        s, n = _global_sums(s, axis)
         wr = s["sum_r"] / n
         mu2 = s["sum_mass"] / n
         p, _, _ = _wan_dp(convention, wr, phi_norm, eps)
@@ -624,7 +644,8 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
         # dwr/dE = -(1/n) sum u*phi (the e2 lane)
         dE = g * w_pde * dp_dwr * (-sum_uphi / n)
         d_pn = g * w_pde * dp_dpn
-        return (grads, dE, jnp.zeros_like(X), jnp.zeros_like(coef), d_pn)
+        return (_global_grads(grads, axis), dE, jnp.zeros_like(X),
+                jnp.zeros_like(coef), d_pn)
 
     loss.defvjp(_fwd, _bwd)
     return loss
@@ -632,7 +653,7 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
 
 def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
                      eps: float = 1e-8, objective: str = "neg_log",
-                     log_eps: float = 1e-8, **call_kw):
+                     log_eps: float = 1e-8, axis=None, **call_kw):
     """Fused WAN critic (v) objective with custom VJP.
 
     Returns ``loss_v(params, X, coef) -> (loss_v, aux)`` where ``coef`` is
@@ -656,7 +677,7 @@ def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
 
     def _fwd(params, X, coef):
         s = fused_linear_sums(params, X, coef, activation, **call_kw)
-        n = s["n"]
+        s, n = _global_sums(s, axis)
         wr = s["sum_r"] / n
         pn = s["sum_mass"] / n
         p, _, _ = _wan_dp(convention, wr, pn, eps)
@@ -673,7 +694,8 @@ def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
         s_q = outer * dp_dpn / n
         grads = fused_seeded_grads(params, X, coef, (s_r, s_q, 0.0),
                                    activation, **call_kw)
-        return grads, jnp.zeros_like(X), jnp.zeros_like(coef)
+        return (_global_grads(grads, axis), jnp.zeros_like(X),
+                jnp.zeros_like(coef))
 
     loss_v.defvjp(_fwd, _bwd)
     return loss_v

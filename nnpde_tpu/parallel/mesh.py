@@ -237,3 +237,104 @@ def fused_residual_step(mesh: Mesh, activation: str, axis="data",
         out_specs=(P(), P(), P()),
         check_vma=check_vma,
     )
+
+
+def fused_rayleigh_step(mesh: Mesh, activation: str, axis="data", *,
+                        weight: float = 1.0, den_eps: float = 0.0,
+                        **kernel_kw):
+    """Data-parallel two-pass fused Rayleigh quotient via ``shard_map``.
+
+    The quotient needs GLOBAL numerator/denominator sums between pass A
+    and pass B, so the ``axis``-aware custom VJP
+    (:func:`nnpde_tpu.kernels.make_fused_rayleigh` with ``axis=...``)
+    psums the pass-A sums and the pass-B per-shard gradient sums — the
+    returned (loss, aux, grads) are mesh-invariant.  check_vma follows the
+    same rule as :func:`fused_residual_step` (explicit invariance test in
+    tests/test_parallel.py).
+
+    Returns ``step(params, X, coef) -> (loss, aux, grads)`` for a
+    batch-sharded (X, coef) and replicated params.
+    """
+    from ..kernels import make_fused_rayleigh
+
+    loss = make_fused_rayleigh(activation, weight=weight, den_eps=den_eps,
+                               axis=axis, **kernel_kw)
+
+    def local(params, X, coef):
+        def obj(p):
+            return loss(p, X, coef)
+
+        (val, aux), grads = jax.value_and_grad(obj, has_aux=True)(params)
+        return val, aux, grads
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+
+def fused_wan_u_step(mesh: Mesh, activation: str, axis="data", *,
+                     convention: str = "wr2_over_norm", eps: float = 1e-8,
+                     vol: float = 1.0, w_pde: float = 1.0,
+                     w_norm: float = 0.0, **kernel_kw):
+    """Data-parallel fused WAN primal step: ``step(params, E, X, base,
+    phi) -> (loss, aux, grads, dE)`` with (X, base, phi) batch-sharded.
+
+    ``phi`` (the critic test-function values on the shard) is reduced to
+    the global ``mean(phi^2)`` in-step; the weak-residual / mass sums psum
+    inside the axis-aware custom VJP.
+    """
+    from ..kernels import make_fused_wan_u
+
+    loss = make_fused_wan_u(activation, convention=convention, eps=eps,
+                            vol=vol, w_pde=w_pde, w_norm=w_norm, axis=axis,
+                            **kernel_kw)
+
+    def local(params, E, X, base, phi):
+        pn = jax.lax.pmean(jnp.mean(phi ** 2), axis)
+
+        def obj(p, E_):
+            return loss(p, E_, X, base, pn)
+
+        (val, aux), (grads, dE) = jax.value_and_grad(
+            obj, argnums=(0, 1), has_aux=True)(params, E)
+        return val, aux, grads, dE
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+
+def fused_wan_v_step(mesh: Mesh, activation: str, axis="data", *,
+                     convention: str = "wr2_over_norm", eps: float = 1e-8,
+                     objective: str = "neg_log", log_eps: float = 1e-8,
+                     **kernel_kw):
+    """Data-parallel fused WAN critic step: ``step(v_params, X, coef) ->
+    (loss_v, aux, grads)`` with (X, coef) batch-sharded."""
+    from ..kernels import make_fused_wan_v
+
+    loss = make_fused_wan_v(activation, convention=convention, eps=eps,
+                            objective=objective, log_eps=log_eps,
+                            axis=axis, **kernel_kw)
+
+    def local(v_params, X, coef):
+        def obj(p):
+            return loss(p, X, coef)
+
+        (val, aux), grads = jax.value_and_grad(obj, has_aux=True)(v_params)
+        return val, aux, grads
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )

@@ -361,3 +361,104 @@ def test_fused_step_outputs_mesh_invariant_per_shard(setup):
                 arr[k], arr[0],
                 err_msg="fused-step output differs across shards — a "
                         "collective is missing in fused_residual_step")
+
+
+def test_fused_rayleigh_step_matches_single_device(setup):
+    """Sharded two-pass Rayleigh (pass-A psum between passes) == the
+    unsharded custom VJP, loss and grads."""
+    from nnpde_tpu.kernels import make_fused_rayleigh, quotient_coefficients
+    from nnpde_tpu.parallel import fused_rayleigh_step
+
+    model, params, X, f, loss_fn = setup
+    V = 0.5 * jnp.sum(X ** 2, axis=1)
+    coef = quotient_coefficients(model.factor.jet(X), V=V)
+
+    ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8, bwd_tile=64)
+
+    def obj(p):
+        return ray(p, X, coef)
+
+    (lo, auxo), go = jax.value_and_grad(obj, has_aux=True)(params)
+
+    mesh = make_mesh()
+    step = jax.jit(fused_rayleigh_step(mesh, "sin", weight=3.0,
+                                       den_eps=1e-8, bwd_tile=64))
+    ls, auxs, gs = step(replicate(params, mesh), shard_batch(X, mesh),
+                        shard_batch(coef, mesh))
+    np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
+    np.testing.assert_allclose(float(auxs["rayleigh"]),
+                               float(auxo["rayleigh"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(go)):
+        # quotient seeds carry 1/den^2 amplification: per-shard summation
+        # order shifts the last ~2 bits relative to the unsharded pass
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=2e-6)
+
+
+def test_fused_wan_steps_match_single_device(setup):
+    """Sharded fused WAN u/v steps == the unsharded custom VJPs (incl. the
+    trainable-E gradient and the in-step global phi_norm)."""
+    from nnpde_tpu.kernels import (
+        linear_functional_coefficients,
+        make_fused_wan_u,
+        make_fused_wan_v,
+    )
+    from nnpde_tpu.parallel import fused_wan_u_step, fused_wan_v_step
+
+    model, params, X, f, loss_fn = setup
+    N, d = X.shape
+    key = jax.random.PRNGKey(3)
+    phi = jax.random.normal(key, (N,))
+    gphi = jax.random.normal(jax.random.fold_in(key, 1), (N, d))
+    V = 0.3 * jnp.sum(X ** 2, axis=1)
+    E0 = jnp.asarray(2.1)
+    B = model.factor.jet(X)
+    base = linear_functional_coefficients(
+        B, c0=V * phi, b0=0.5 * gphi, e1=B.value, e2=B.value * phi)
+    pn = jnp.mean(phi ** 2)
+
+    u_loss = make_fused_wan_u("sin", vol=4.0, w_pde=10.0, w_norm=100.0,
+                              bwd_tile=64)
+
+    def obj(p, E):
+        return u_loss(p, E, X, base, pn)
+
+    (lo, auxo), (go, dEo) = jax.value_and_grad(
+        obj, argnums=(0, 1), has_aux=True)(params, E0)
+
+    mesh = make_mesh()
+    ustep = jax.jit(fused_wan_u_step(mesh, "sin", vol=4.0, w_pde=10.0,
+                                     w_norm=100.0, bwd_tile=64))
+    ls, auxs, gs, dEs = ustep(replicate(params, mesh), E0,
+                              shard_batch(X, mesh),
+                              shard_batch(base, mesh),
+                              shard_batch(phi, mesh))
+    np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
+    np.testing.assert_allclose(float(dEs), float(dEo), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(go)):
+        # quotient seeds carry 1/den^2 amplification: per-shard summation
+        # order shifts the last ~2 bits relative to the unsharded pass
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=2e-6)
+
+    # critic step: bump-like multiplier, -log objective
+    u_dat = jax.random.normal(jax.random.fold_in(key, 2), (N,))
+    gu = jax.random.normal(jax.random.fold_in(key, 3), (N, d))
+    coef_v = linear_functional_coefficients(
+        B, c0=(V - 2.1) * u_dat, b0=0.5 * gu, e1=B.value)
+    v_loss = make_fused_wan_v("sin", bwd_tile=64)
+
+    def vobj(p):
+        return v_loss(p, X, coef_v)
+
+    (lvo, _), gvo = jax.value_and_grad(vobj, has_aux=True)(params)
+    vstep = jax.jit(fused_wan_v_step(mesh, "sin", bwd_tile=64))
+    lvs, _, gvs = vstep(replicate(params, mesh), shard_batch(X, mesh),
+                        shard_batch(coef_v, mesh))
+    np.testing.assert_allclose(float(lvs), float(lvo), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gvs),
+                    jax.tree_util.tree_leaves(gvo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=2e-6)
