@@ -199,6 +199,23 @@ VARIANTS = {
         "v_layers": (2, 100, 100, 100, 1), "grid_n": 500, "epochs": 45000,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round 4: seed replication of the north-star winner (VERDICT r3 #5 —
+    # 9.61e-4 is a single seed=0 run; median over seeds decides whether
+    # the north star is robustly closed)
+    **{f"winner_grid400_cos45k_seed{s}": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "seed": s,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    } for s in (1, 2, 3, 4)},
+    # round 4: the fused-kernel variant of the winner (jet_impl A/B at
+    # full scale — accuracy parity for the two-pass WAN kernels)
+    "winner_grid400_cos45k_fused": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "jet_impl": "pallas-fused",
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-jitter: per-epoch deterministic whole-grid sub-cell shift
     # (Cranley–Patterson on the tensor grid): unbiased quadrature without
     # the per-point stochastic noise that made wan_resample fail (3.7e-2).
