@@ -11,6 +11,7 @@ from .fused_quotient import (
     fused_quad_seeded_grads,
     fused_seeded_grads,
     linear_functional_coefficients,
+    make_fused_quad_mean,
     make_fused_rayleigh,
     make_fused_wan_u,
     make_fused_wan_v,

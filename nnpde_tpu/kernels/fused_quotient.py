@@ -52,6 +52,7 @@ gradient ``G_j = B*g_j + dB_j*net``.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -87,12 +88,15 @@ def _lane_sums(pairs):
 
 
 # --------------------------------------------------------------- pass A (lin)
-def _linear_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
-                        packed, nc, X_ref, *refs):
+def _linear_sums_kernel(no_lap, d, K, T, activation, concat_streams,
+                        dot_dtype, packed, nc, X_ref, *refs):
     """Forward recompute only; accumulate the linear-functional sums.
 
     Output: sums (1, 128) with lane 0 = sum r, 1 = sum r^2,
     2 = sum (e1*v)^2, 3 = sum e2*v.
+
+    ``no_lap``: drop the Laplacian stream (requires the ``a`` coefficient
+    column to be identically zero — the WAN weak forms).
     """
     Ws, wlast_row, bs, blast, _, coef_ref, out_refs = _unpack_common(
         K, refs, 0)
@@ -107,7 +111,8 @@ def _linear_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
             if dot_dtype == "bfloat16" else (lambda x: x))
     X = X_ref[0]
     _, _, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
+        with_lap=not no_lap,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -127,14 +132,17 @@ def _linear_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         gs = [proj2(Jm) for Jm in Jmid]
-        la, lb = proj2(lmid)
         ca, cb = cc(0)
-        aa, ab = cc(d + 1)
         rha, rhb = cc(d + 2)
         e1a, e1b = cc(d + 3)
         e2a, e2b = cc(d + 4)
-        ra = ca * va + aa * la + rha
-        rb = cb * vb + ab * lb + rhb
+        ra = ca * va + rha
+        rb = cb * vb + rhb
+        if not no_lap:
+            la, lb = proj2(lmid)
+            aa, ab = cc(d + 1)
+            ra = ra + aa * la
+            rb = rb + ab * lb
         for j in range(d):
             bja, bjb = cc(1 + j)
             ra = ra + bja * gs[j][0]
@@ -149,13 +157,14 @@ def _linear_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
     else:
         value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
         gs = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
-        lap = jnp.sum(lmid * wlast_row, axis=1, keepdims=True)
         c = coef[:, 0:1]
-        a_ = coef[:, d + 1:d + 2]
         rhs = coef[:, d + 2:d + 3]
         e1 = coef[:, d + 3:d + 4]
         e2 = coef[:, d + 4:d + 5]
-        r = c * value + a_ * lap + rhs
+        r = c * value + rhs
+        if not no_lap:
+            lap = jnp.sum(lmid * wlast_row, axis=1, keepdims=True)
+            r = r + coef[:, d + 1:d + 2] * lap
         for j in range(d):
             r = r + coef[:, 1 + j:2 + j] * gs[j]
         s_r = jnp.sum(r, keepdims=True)
@@ -168,8 +177,8 @@ def _linear_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
 
 
 # --------------------------------------------------------------- pass B (lin)
-def _linear_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
-                          packed, nc, X_ref, *refs):
+def _linear_seeded_kernel(no_lap, d, K, T, activation, concat_streams,
+                          dot_dtype, packed, nc, X_ref, *refs):
     """Seeded reverse sweep: cotangents from GLOBAL scalars (scal input).
 
     scal lanes: 0 = s_r (linear-functional seed), 1 = s_q (quadratic-mass
@@ -177,7 +186,7 @@ def _linear_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
 
         ct_v   = s_r*c + s_q*2*e1^2*v + s_l*e2
         ct_g_j = s_r*b_j
-        ct_l   = s_r*a
+        ct_l   = s_r*a       (dropped under ``no_lap`` — a must be 0)
 
     Outputs: dW0.., dWlast_row, db0.., sums (lane 0 = sum ct_v, the blast
     gradient).
@@ -204,7 +213,8 @@ def _linear_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
             if dot_dtype == "bfloat16" else (lambda x: x))
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
+        with_lap=not no_lap,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -224,7 +234,6 @@ def _linear_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         ca, cb = cc(0)
-        aa, ab = cc(d + 1)
         e1a, e1b = cc(d + 3)
         e2a, e2b = cc(d + 4)
         ctv_a = s_r * ca + s_q * 2.0 * e1a * e1a * va + s_l * e2a
@@ -234,18 +243,21 @@ def _linear_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
         for j in range(d):
             bja, bjb = cc(1 + j)
             ct_g.append(jnp.where(left, s_r * bja, s_r * bjb))
-        ct_l = jnp.where(left, s_r * aa, s_r * ab)
+        if no_lap:
+            ct_l = None
+        else:
+            aa, ab = cc(d + 1)
+            ct_l = jnp.where(left, s_r * aa, s_r * ab)
         s_ctv = (jnp.sum(ctv_a, keepdims=True)
                  + jnp.sum(ctv_b, keepdims=True))
     else:
         value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
         c = coef[:, 0:1]
-        a_ = coef[:, d + 1:d + 2]
         e1 = coef[:, d + 3:d + 4]
         e2 = coef[:, d + 4:d + 5]
         ct_v = s_r * c + s_q * 2.0 * e1 * e1 * value + s_l * e2
         ct_g = [s_r * coef[:, 1 + j:2 + j] for j in range(d)]
-        ct_l = s_r * a_
+        ct_l = None if no_lap else s_r * coef[:, d + 1:d + 2]
         s_ctv = jnp.sum(ct_v, keepdims=True)
 
     sums_ref[...] += _lane_sums([(0, s_ctv)])
@@ -274,8 +286,11 @@ def _quad_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
     cast = ((lambda x: x.astype(jnp.bfloat16))
             if dot_dtype == "bfloat16" else (lambda x: x))
     X = X_ref[0]
+    # quadratic energies touch value+grad only — never propagate the lap
+    # stream (d+1 streams instead of d+2)
     _, _, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
+        with_lap=False,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -359,7 +374,8 @@ def _quad_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
             if dot_dtype == "bfloat16" else (lambda x: x))
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
+        with_lap=False,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -396,7 +412,7 @@ def _quad_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
         ctv_a = s_e * ctv_a + s_q * 2.0 * Ba * Ba * va
         ctv_b = s_e * ctv_b + s_q * 2.0 * Bb * Bb * vb
         ct_v = jnp.where(left, ctv_a, ctv_b)
-        ct_l = jnp.zeros_like(ct_v)
+        ct_l = None
         s_ctv = (jnp.sum(ctv_a, keepdims=True)
                  + jnp.sum(ctv_b, keepdims=True))
     else:
@@ -413,7 +429,7 @@ def _quad_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
             ct_v = ct_v + G * coef[:, 1 + j:2 + j]
             ct_g.append(s_e * G * B)
         ct_v = s_e * ct_v + s_q * 2.0 * B * B * value
-        ct_l = jnp.zeros_like(ct_v)
+        ct_l = None
         s_ctv = jnp.sum(ct_v, keepdims=True)
 
     sums_ref[...] += _lane_sums([(0, s_ctv)])
@@ -470,26 +486,34 @@ def quotient_coefficients(factor_jet, *, f=None, V=None):
 
 
 # ------------------------------------------------------------------- raw API
-def fused_linear_sums(params, X, coef, activation: str, **call_kw):
-    """Pass A: ``{'sum_r', 'sum_r2', 'sum_mass', 'sum_e2', 'n'}``."""
+def fused_linear_sums(params, X, coef, activation: str, *,
+                      no_lap: bool = False, **call_kw):
+    """Pass A: ``{'sum_r', 'sum_r2', 'sum_mass', 'sum_e2', 'n'}``.
+
+    ``no_lap=True`` drops the Laplacian stream — only valid when the
+    ``a`` coefficient column is identically zero (WAN weak forms)."""
     sums, N = _fused_call(
-        _linear_sums_kernel, activation, params, X, coef, X.shape[1] + 5,
+        functools.partial(_linear_sums_kernel, no_lap), activation,
+        params, X, coef, X.shape[1] + 5,
         grads_out=False, **call_kw,
     )
     return {"sum_r": sums[0], "sum_r2": sums[1], "sum_mass": sums[2],
             "sum_e2": sums[3], "n": N}
 
 
-def fused_seeded_grads(params, X, coef, scalars, activation: str, **call_kw):
+def fused_seeded_grads(params, X, coef, scalars, activation: str, *,
+                       no_lap: bool = False, **call_kw):
     """Pass B: grads of ``s_r*sum r + s_q*sum (e1 v)^2 + s_l*sum e2 v``.
 
     ``scalars = (s_r, s_q, s_l)`` — global factors computed in XLA from
     pass A's sums (they must already include any 1/N and chain factors).
+    ``no_lap`` as in :func:`fused_linear_sums`.
     """
     s = jnp.zeros((128,), jnp.float32)
     s = s.at[0].set(scalars[0]).at[1].set(scalars[1]).at[2].set(scalars[2])
     dWs, dbs, sums, _ = _fused_call(
-        _linear_seeded_kernel, activation, params, X, coef, X.shape[1] + 5,
+        functools.partial(_linear_seeded_kernel, no_lap), activation,
+        params, X, coef, X.shape[1] + 5,
         scalars=s, **call_kw,
     )
     grads = [(dW, db) for dW, db in zip(dWs[:-1], dbs)]
@@ -582,6 +606,40 @@ def make_fused_rayleigh(activation: str, *, weight: float = 1.0,
     return loss
 
 
+def make_fused_quad_mean(activation: str, *, weight: float = 1.0,
+                         axis=None, **call_kw):
+    """Fused quadratic-energy MEAN with custom VJP: ``loss(params, X,
+    coef) = weight * mean(1/2|grad u|^2 - f u + V u^2)``.
+
+    Covers plain quadratic regularisers — e.g. the Poisson WAN critic's
+    ``mean(|grad v|^2 + v^2)`` (Poisson_ND.py:125-126) via ``V = 1/2`` and
+    ``weight = 2*reg`` — without materialising the jet.  Same two-pass
+    machinery as :func:`make_fused_rayleigh` with the denominator removed.
+    """
+    @jax.custom_vjp
+    def loss(params, X, coef):
+        out, _ = _fwd(params, X, coef)
+        return out
+
+    def _fwd(params, X, coef):
+        s = fused_quad_sums(params, X, coef, activation, **call_kw)
+        s, n = _global_sums(s, axis)
+        mean_e = s["sum_e"] / n
+        aux = {"mean_e": mean_e, "mean_u2": s["sum_u2"] / n}
+        return (weight * mean_e, aux), (params, X, coef, n)
+
+    def _bwd(res, ct):
+        params, X, coef, n = res
+        s_e = ct[0] * weight / n
+        grads = fused_quad_seeded_grads(params, X, coef, (s_e, 0.0),
+                                        activation, **call_kw)
+        return (_global_grads(grads, axis), jnp.zeros_like(X),
+                jnp.zeros_like(coef))
+
+    loss.defvjp(_fwd, _bwd)
+    return loss
+
+
 def _wan_dp(convention, wr, pn, eps):
     """(p, dp/dwr, dp/dpn) for the two reference conventions."""
     if convention == "wr2_over_norm":
@@ -621,7 +679,10 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
 
     def _fwd(params, E, X, base, phi_norm):
         coef = base.at[:, 0].add(-E * base[:, -1])
-        s = fused_linear_sums(params, X, coef, activation, **call_kw)
+        # the weak form has no lap term (a == 0 by the coefficient
+        # contract) — run the recompute without the lap stream
+        s = fused_linear_sums(params, X, coef, activation, no_lap=True,
+                              **call_kw)
         s, n = _global_sums(s, axis)
         wr = s["sum_r"] / n
         mu2 = s["sum_mass"] / n
@@ -640,7 +701,7 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
         s_r = g * w_pde * dp_dwr / n
         s_q = g * w_norm * 2.0 * (vol * mu2 - 1.0) * vol / n
         grads = fused_seeded_grads(params, X, coef, (s_r, s_q, 0.0),
-                                   activation, **call_kw)
+                                   activation, no_lap=True, **call_kw)
         # dwr/dE = -(1/n) sum u*phi (the e2 lane)
         dE = g * w_pde * dp_dwr * (-sum_uphi / n)
         d_pn = g * w_pde * dp_dpn
@@ -676,7 +737,8 @@ def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
         return out
 
     def _fwd(params, X, coef):
-        s = fused_linear_sums(params, X, coef, activation, **call_kw)
+        s = fused_linear_sums(params, X, coef, activation, no_lap=True,
+                              **call_kw)
         s, n = _global_sums(s, axis)
         wr = s["sum_r"] / n
         pn = s["sum_mass"] / n
@@ -693,7 +755,7 @@ def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
         s_r = outer * dp_dwr / n
         s_q = outer * dp_dpn / n
         grads = fused_seeded_grads(params, X, coef, (s_r, s_q, 0.0),
-                                   activation, **call_kw)
+                                   activation, no_lap=True, **call_kw)
         return (_global_grads(grads, axis), jnp.zeros_like(X),
                 jnp.zeros_like(coef))
 

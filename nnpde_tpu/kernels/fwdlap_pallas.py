@@ -341,8 +341,19 @@ def _nl_mid_pack(pack, Js, l):
 
 def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
     """Backward through the stage, reusing the shared derivative pack and
-    the precomputed q = sum_i J_i^2."""
+    the precomputed q = sum_i J_i^2.
+
+    ``dlmid=None`` is the no-lap mode (the lap stream was never
+    propagated forward — value+grad functionals only): the dl/dq chain
+    terms vanish and the returned dl is None."""
     _, s1v, s2v, s3v = pack
+    if dlmid is None:
+        dv = s1v * dA
+        dJs_out = []
+        for Ji, dJm in zip(Js, dJmid):
+            dv = dv + s2v * Ji * dJm
+            dJs_out.append(s1v * dJm)
+        return dv, dJs_out, None
     dl = s1v * dlmid
     dq = s2v * dlmid
     dv = s1v * dA + (s2v * l + s3v * q) * dlmid
@@ -354,7 +365,7 @@ def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
 
 
 def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
-                   X, Ws, bs, packed):
+                   X, Ws, bs, packed, with_lap=True):
     """Shared VMEM forward recompute with flat 2D (T, w) streams.
 
     Used by both the recompute backward (:func:`_backward_kernel`) and the
@@ -362,6 +373,12 @@ def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
     ``(Ws_c, saved, final)`` where ``saved[k-1] = (Js, l, q, pack, Jmid,
     lmid)`` holds hidden stage ``k``'s streams and ``final = (Js, l, q,
     pack, A, Jmid, lmid)`` is the last stage pre-projection.
+
+    ``with_lap=False`` drops the Laplacian stream entirely — d+1 streams
+    instead of d+2 (and no q = sum J^2 / s'' work).  Used by the quotient
+    kernels whose functionals touch value+grad only (DRM energies, WAN
+    weak forms with a == 0): ~1/(d+2) less VMEM traffic and dot work.
+    The l/q/lmid slots in saved/final are None in this mode.
     """
     w0 = Ws[0]
     width = w0.shape[1]
@@ -371,14 +388,15 @@ def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
         """One ((d+2)T, w) dot or d+2 separate dots."""
         W = Ws_c[k]
         if concat_streams:
-            S = jnp.concatenate([A] + Jmid + [lmid], axis=0)
+            S = jnp.concatenate(
+                [A] + Jmid + ([lmid] if with_lap else []), axis=0)
             O = _dot(cast(S), W, prec)
             v = O[:T] + bs[k]
             Js = [O[(1 + i) * T:(2 + i) * T] for i in range(d)]
-            return v, Js, O[(d + 1) * T:]
+            return v, Js, (O[(d + 1) * T:] if with_lap else None)
         v = _dot(cast(A), W, prec) + bs[k]
         Js = [_dot(cast(Jm), W, prec) for Jm in Jmid]
-        return v, Js, _dot(cast(lmid), W, prec)
+        return v, Js, (_dot(cast(lmid), W, prec) if with_lap else None)
 
     # ---- forward recompute; per-stage packs and mid streams stay in VMEM
     # (the reverse sweep reuses them — no second nonlinearity evaluation)
@@ -390,21 +408,23 @@ def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
                                (T, width)) for i in range(d)]
     else:
         Js = [jnp.broadcast_to(w0[i:i + 1, :], (T, width)) for i in range(d)]
-    l = jnp.zeros((T, width), jnp.float32)
+    l = jnp.zeros((T, width), jnp.float32) if with_lap else None
+
+    def stage(v, Js, l):
+        pack = _act_pack(activation, v)
+        if with_lap:
+            q = _sum_sq(Js)
+            lmid = pack[1] * l + pack[2] * q
+        else:
+            q = lmid = None
+        return pack, q, pack[0], [pack[1] * Ji for Ji in Js], lmid
+
     saved = []
     for k in range(1, K - 1):
-        pack = _act_pack(activation, v)
-        q = _sum_sq(Js)
-        A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
-            pack[1] * l + pack[2] * q
-        )
+        pack, q, A, Jmid, lmid = stage(v, Js, l)
         saved.append((Js, l, q, pack, Jmid, lmid))
         v, Js, l = fwd_linear(k, A, Jmid, lmid)
-    pack = _act_pack(activation, v)
-    q = _sum_sq(Js)
-    A, Jmid, lmid = pack[0], [pack[1] * Ji for Ji in Js], (
-        pack[1] * l + pack[2] * q
-    )
+    pack, q, A, Jmid, lmid = stage(v, Js, l)
     return Ws_c, saved, (Js, l, q, pack, A, Jmid, lmid)
 
 
@@ -416,17 +436,21 @@ def _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
     ``ct_v/ct_g/ct_l``: cotangents of the FINAL mid streams already
     broadcast to (T, w) shape (under ``packed``, per-half).  Accumulates
     dW/db into the output refs across TPU's sequential grid.
+
+    ``ct_l=None`` selects the no-lap mode and requires ``final``/``saved``
+    from ``_fwd_recompute(..., with_lap=False)``.
     """
     Js, l, q, pack, A, Jmid, lmid = final
+    with_lap = ct_l is not None
     width = Ws_c[0].shape[1]
-    G = A * ct_v + lmid * ct_l
+    G = A * ct_v + (lmid * ct_l if with_lap else 0.0)
     for Jm, cg in zip(Jmid, ct_g):
         G = G + Jm * cg
     dWlast_ref[...] += jnp.sum(G, axis=0, keepdims=True)
     # pullback through the projection: each mid cotangent is ct * w_row
     dAm = ct_v * wlast_row
     dJm = [cg * wlast_row for cg in ct_g]
-    dlm = ct_l * wlast_row
+    dlm = ct_l * wlast_row if with_lap else None
     dv, dJs, dl = _nl_bwd_pack(pack, Js, l, q, dAm, dJm, dlm)
 
     # ---- hidden linear layers K-2 .. 1
@@ -434,24 +458,27 @@ def _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
         Js_e, l_e, q, pack, Jmid, lmid = saved[k - 1]
         A = pack[0]
         if concat_streams:
-            Astk = cast(jnp.concatenate([A] + Jmid + [lmid], axis=0))
-            Dstk = cast(jnp.concatenate([dv] + dJs + [dl], axis=0))
+            Astk = cast(jnp.concatenate(
+                [A] + Jmid + ([lmid] if with_lap else []), axis=0))
+            Dstk = cast(jnp.concatenate(
+                [dv] + dJs + ([dl] if with_lap else []), axis=0))
             dW_refs[k][...] += _dg_rows(Astk, Dstk, prec)
             db_refs[k][...] += jnp.sum(dv, axis=0, keepdims=True)
             P = _dg_cols(Dstk, Ws_c[k], prec)
             dAm = P[:T]
             dJm = [P[(1 + i) * T:(2 + i) * T] for i in range(d)]
-            dlm = P[(d + 1) * T:]
+            dlm = P[(d + 1) * T:] if with_lap else None
         else:
-            dW = (_dg_rows(cast(A), cast(dv), prec)
-                  + _dg_rows(cast(lmid), cast(dl), prec))
+            dW = _dg_rows(cast(A), cast(dv), prec)
+            if with_lap:
+                dW = dW + _dg_rows(cast(lmid), cast(dl), prec)
             for Jm_s, dJ in zip(Jmid, dJs):
                 dW = dW + _dg_rows(cast(Jm_s), cast(dJ), prec)
             dW_refs[k][...] += dW
             db_refs[k][...] += jnp.sum(dv, axis=0, keepdims=True)
             dAm = _dg_cols(cast(dv), Ws_c[k], prec)
             dJm = [_dg_cols(cast(dJ), Ws_c[k], prec) for dJ in dJs]
-            dlm = _dg_cols(cast(dl), Ws_c[k], prec)
+            dlm = _dg_cols(cast(dl), Ws_c[k], prec) if with_lap else None
         dv, dJs, dl = _nl_bwd_pack(pack, Js_e, l_e, q, dAm, dJm, dlm)
 
     # ---- input layer: v0 = X @ W0 + b0; J0_i = W0[i, :] broadcast; l0 = 0
