@@ -203,8 +203,11 @@ def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
     cast = ((lambda x: x.astype(jnp.bfloat16))
             if dot_dtype == "bfloat16" else (lambda x: x))
     X = X_ref[0]
+    # the energy touches value+grad only — skip the lap stream entirely
+    # (d+1 streams instead of d+2 in both the recompute and the sweep)
     Ws_c, saved, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
+        with_lap=False,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -237,7 +240,7 @@ def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
         s_ctv = jnp.sum(ctv_a, keepdims=True) + jnp.sum(ctv_b, keepdims=True)
         ct_v = jnp.where(left, ctv_a, ctv_b)
         ct_g = [jnp.where(left, Ga[j] * Ba, Gb[j] * Bb) for j in range(d)]
-        ct_l = jnp.zeros_like(ct_v)
+        ct_l = None
     else:
         value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
         gs = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
@@ -248,7 +251,7 @@ def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
         e = sum(0.5 * Gj * Gj for Gj in G) - f_ * B * value
         ct_v = sum(Gj * dBs[j] for j, Gj in enumerate(G)) - f_ * B
         ct_g = [Gj * B for Gj in G]
-        ct_l = jnp.zeros_like(ct_v)
+        ct_l = None
         s_e = jnp.sum(e, keepdims=True)
         s_ctv = jnp.sum(ct_v, keepdims=True)
 
