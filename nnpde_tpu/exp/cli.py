@@ -82,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "pallas-fused"], default="xla",
                    help="PINN jet backend; pallas = lane-packed VMEM "
                         "kernels (~2.4x at width 64 on TPU); pallas-fused "
-                        "= one-pass fused loss+grad kernel (PINN only)")
+                        "= fused loss+grad kernels: one-pass for PINN, two-pass "
+                        "quotient kernels for DRM/WAN")
     p.add_argument("--wan-reg", type=float, default=1.0,
                    help="WAN critic regularisation weight")
     _add_common(p, epochs=10000)
@@ -101,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("ipw1d-wan", help="1D infinite well via WAN")
     p.add_argument("--n", type=int, default=1)
     p.add_argument("--L", type=float, default=2.0)
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
+                   help="pallas-fused = two-pass fused u/v objectives "
+                        "(kernels/fused_quotient.py)")
     p.add_argument("--technique", choices=["BC", "FBC", "OG", "FN"], default="FBC")
     p.add_argument("--layers", type=_int_list, default=[1, 50, 50, 50, 1])
     p.add_argument("--v-layers", type=_int_list, default=[1, 20, 20, 20, 1])
@@ -195,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("qho1d-wan", help="1D QHO via WAN (trainable energy)")
     p.add_argument("--n", type=int, default=0)
     p.add_argument("--x-max", type=float, default=6.0)
+    p.add_argument("--jet-impl",
+                   choices=["xla", "pallas", "pallas-fused"], default="xla",
+                   help="pallas-fused = two-pass fused u/v objectives with "
+                        "the exact in-kernel trainable-E gradient")
     p.add_argument("--technique", choices=["BC", "FBC", "OG"], default="BC")
     p.add_argument("--layers", type=_int_list, default=[1, 200, 200, 200, 1])
     p.add_argument("--v-layers", type=_int_list, default=[1, 100, 100, 100, 1])
@@ -352,6 +361,7 @@ def _dispatch(args) -> int:
 
         cfg = IPW1DWanConfig(n=args.n, L=args.L, technique=args.technique,
                              layers=tuple(args.layers),
+                             jet_impl=args.jet_impl,
                              v_layers=tuple(args.v_layers),
                              v_steps=args.v_steps, minimax=args.minimax,
                              v_lr=args.v_lr, u_ema=args.u_ema, **kw)
@@ -409,6 +419,7 @@ def _dispatch(args) -> int:
         cfg = QHO1DWanConfig(n=args.n, x_max=args.x_max,
                              technique=args.technique,
                              layers=tuple(args.layers),
+                             jet_impl=args.jet_impl,
                              v_layers=tuple(args.v_layers),
                              v_steps=args.v_steps, minimax=args.minimax,
                              v_lr=args.v_lr, u_ema=args.u_ema, **kw)
