@@ -59,25 +59,28 @@ def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
         v_model.spec.activation, convention=convention, eps=eps,
         objective=objective, log_eps=log_eps, **call_kw)
 
-    def u_pde_fn(u_net_params, E, v_params, X, wv, dwv, V=None):
+    def u_pde_fn(u_net_params, E, v_params, X, wv, dwv, V=None, f=None):
         v, gv = v_model.value_and_grad(v_params, X, impl=impl)
         phi = wv * v
         gphi = dwv * v[:, None] + wv[:, None] * gv
         phi_norm = jnp.mean(phi ** 2)
         Bu = factor_jet_or_one(u_model, X)
         c0 = None if V is None else V * phi
+        rhs = None if f is None else -f * phi     # Poisson_ND.py:120-121
         base = linear_functional_coefficients(
-            Bu, c0=c0, b0=prefactor * gphi, e1=Bu.value,
+            Bu, c0=c0, b0=prefactor * gphi, rhs=rhs, e1=Bu.value,
             e2=Bu.value * phi)
         return fused_u(u_net_params, E, X, base, phi_norm)
 
-    def v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None):
+    def v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None, f=None):
         u, gu = u_model.value_and_grad(u_net_params, X, impl=impl)
         Bv = factor_jet_or_one(v_model, X)
         Wm = wv * Bv.value
         gWm = dwv * Bv.value[:, None] + wv[:, None] * Bv.grad
         wjet = Jet(Wm, gWm, jnp.zeros_like(Wm))
         c0 = (V - E) * u if V is not None else -E * u
+        if f is not None:
+            c0 = c0 - f
         coef = linear_functional_coefficients(
             wjet, c0=c0, b0=prefactor * gu, e1=Wm)
         return fused_v(v_params, X, coef)

@@ -172,11 +172,6 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         raise ValueError(
             "jet_impl must be 'xla', 'pallas' or 'pallas-fused'"
         )
-    if cfg.jet_impl == "pallas-fused" and cfg.method == "WAN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the PINN residual or the DRM "
-            "energy (kernels/fused_step.py) — not the WAN weak form"
-        )
     # Epoch-scan length cap on the pallas jet path.  The round-3 compile-time
     # ladder (artifacts/compile_cliff.json) found NO cliff on this step
     # (3.4-3.9 s flat for chunk 125..1000), so the default cap is 1000
@@ -454,6 +449,21 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
         critic = _critic_model(cfg)
         v_params = critic.init(jax.random.fold_in(k_init, 1))
 
+        # two-pass fused WAN (f32 phases): the Poisson weak form rides the
+        # rhs lane (-f*phi), the critic regulariser mean(|grad v|^2 + v^2)
+        # rides the fused quadratic mean (V=1/2, weight=2*reg)
+        fused_wan = cfg.jet_impl == "pallas-fused"
+        if fused_wan:
+            from ..kernels import make_fused_quad_mean, quotient_coefficients
+            from ._fused_wan import factor_jet_or_one, make_fused_wan_pair
+
+            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+                model, critic, w_pde=w["pde"], prefactor=1.0)
+            quad_reg = (make_fused_quad_mean(
+                critic.spec.activation, weight=2.0 * cfg.wan_reg)
+                if cfg.wan_reg else None)
+            E_zero = jnp.asarray(0.0, jnp.float32)
+
         def wan_core(u_params, v_params, X, f, dtype):
             if dtype == "bfloat16":
                 # net streams in bf16 (the HBM-bound cost); all reductions
@@ -485,6 +495,16 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                 + v^2), fresh interior sample (Poisson_ND.py:105-128,244-248)."""
                 Xc = draw_interior(key)
                 fc = rhs_f(Xc, cfg.L, ks)
+                if fused_wan and dtype == "float32":
+                    wv, dwv = bump_w(Xc, 0.0, cfg.L)
+                    lv, _ = v_pde_fn(v_params, u_params, E_zero, Xc,
+                                     wv, dwv, f=fc)
+                    if quad_reg is not None:
+                        coef_r = quotient_coefficients(
+                            factor_jet_or_one(critic, Xc), V=0.5)
+                        reg2, _ = quad_reg(v_params, Xc, coef_r)
+                        lv = lv + reg2
+                    return lv
                 loss_pde, _, _, _, v, gv = wan_core(
                     u_params, v_params, Xc, fc, dtype
                 )
@@ -497,14 +517,23 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             def u_loss_fn(u_params, v_params, key):
                 Xu = draw_interior(key)
                 fu = rhs_f(Xu, cfg.L, ks)
-                loss_pde, weak, phi_norm, u_int, _, _ = wan_core(
-                    u_params, v_params, Xu, fu, dtype
-                )
+                if fused_wan and dtype == "float32":
+                    wv, dwv = bump_w(Xu, 0.0, cfg.L)
+                    pde_w, aux = u_pde_fn(u_params, E_zero, v_params, Xu,
+                                          wv, dwv, f=fu)
+                    loss_pde = aux["pde_loss"]
+                    weak, phi_norm = aux["weak_residual"], aux["phi_norm"]
+                    u_int = model.apply_batch(u_params, Xu)
+                else:
+                    loss_pde, weak, phi_norm, u_int, _, _ = wan_core(
+                        u_params, v_params, Xu, fu, dtype
+                    )
+                    pde_w = w["pde"] * loss_pde
                 bc, data, norm, mean_pen = aux_terms(
                     u_params, jax.random.fold_in(key, 7), u_int
                 )
                 total = (
-                    w["pde"] * loss_pde + w["bc"] * bc + w["data"] * data
+                    pde_w + w["bc"] * bc + w["data"] * data
                     + w["norm"] * norm + w["mean"] * mean_pen
                 )
                 return total, {

@@ -475,3 +475,21 @@ def test_kh_drm_and_wan_fused_match_xla():
                                aw["history"]["total"][0], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(bw["history"]["E"]),
                                np.asarray(aw["history"]["E"]), rtol=1e-3)
+
+
+def test_poisson_wan_fused_matches_xla():
+    """ND Poisson WAN: fused weak form (rhs lane) + fused critic
+    regulariser vs the XLA path, fresh resampling per step."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=2, method="WAN", epochs=12, n_interior=256,
+                width=16, depth=3, critic_width=12, critic_depth=3,
+                critic_steps=2, chunk=4, seed=0)
+    a = train_poisson_nd(PoissonConfig(jet_impl="xla", **base))
+    b = train_poisson_nd(PoissonConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b["history"]["total"]),
+                               np.asarray(a["history"]["total"]),
+                               rtol=5e-2)
+    assert np.isfinite(b["rel_l2"])
