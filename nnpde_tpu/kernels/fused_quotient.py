@@ -35,7 +35,10 @@ the extragradient / OGDA minimax modes.
 IMPORTANT: the custom VJPs differentiate w.r.t. the NETWORK PARAMS (and the
 trainable eigenvalue E where present) only; the collocation inputs and
 coefficient streams receive zero cotangents by construction (they are data
-in every reference trainer).
+in every reference trainer).  The ``aux`` dicts the losses return are
+likewise metrics-only: their cotangents are discarded in the backward, so
+composing an aux value into a *differentiated* objective silently
+contributes zero gradient — treat aux like stop_gradient outputs.
 
 Linear coefficient layout per point (``nc = d + 5`` columns):
 
@@ -78,6 +81,24 @@ def _unpack_common(K, refs, n_scal_refs):
     return Ws, wlast_row, bs, blast, scal, coef_ref, out_refs
 
 
+def _packed_helpers(A, T, nc, coef, wlast_row):
+    """Shared packed-mode context: left-half lane mask, per-half scalar
+    projections, and the per-half coefficient-column reader (point a's nc
+    columns then point b's)."""
+    vw = A.shape[1]
+    left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+    def proj2(S):
+        P = S * wlast_row
+        return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
+                jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
+
+    def cc(i):
+        return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
+
+    return left, proj2, cc
+
+
 def _lane_sums(pairs):
     """(1,128) accumulator row with ``pairs[k] = (lane, (1,1) value)``."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -118,17 +139,7 @@ def _linear_sums_kernel(no_lap, d, K, T, activation, concat_streams,
     coef = coef_ref[0]
 
     if packed:
-        vw = A.shape[1]
-        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
-
-        def proj2(S):
-            P = S * wlast_row
-            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
-
-        def cc(i):
-            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
-
+        left, proj2, cc = _packed_helpers(A, T, nc, coef, wlast_row)
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         gs = [proj2(Jm) for Jm in Jmid]
@@ -220,17 +231,7 @@ def _linear_seeded_kernel(no_lap, d, K, T, activation, concat_streams,
     coef = coef_ref[0]
 
     if packed:
-        vw = A.shape[1]
-        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
-
-        def proj2(S):
-            P = S * wlast_row
-            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
-
-        def cc(i):
-            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
-
+        left, proj2, cc = _packed_helpers(A, T, nc, coef, wlast_row)
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         ca, cb = cc(0)
@@ -296,17 +297,7 @@ def _quad_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
     coef = coef_ref[0]
 
     if packed:
-        vw = A.shape[1]
-        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
-
-        def proj2(S):
-            P = S * wlast_row
-            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
-
-        def cc(i):
-            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
-
+        left, proj2, cc = _packed_helpers(A, T, nc, coef, wlast_row)
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         gs = [proj2(Jm) for Jm in Jmid]
@@ -381,17 +372,7 @@ def _quad_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
     coef = coef_ref[0]
 
     if packed:
-        vw = A.shape[1]
-        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
-
-        def proj2(S):
-            P = S * wlast_row
-            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
-
-        def cc(i):
-            return coef[:, i:i + 1], coef[:, nc + i:nc + i + 1]
-
+        left, proj2, cc = _packed_helpers(A, T, nc, coef, wlast_row)
         va, vb = proj2(A)
         va, vb = va + blast, vb + blast
         gs = [proj2(Jm) for Jm in Jmid]
@@ -444,45 +425,40 @@ def linear_functional_coefficients(factor_jet, *, c0=None, b0=None, a0=0.0,
     """(N, d+5) stream for a linear functional ``r`` of ``u = B*net``.
 
     The functional is ``r = a0*lap(u) + b0 . grad(u) + c0*u + rhs`` in the
-    FULL solution u; chain rule through the trial factor B gives the
-    net-jet coefficients (same algebra as
-    :func:`.fused_step.residual_coefficients`).  ``e1``/``e2`` fill the
-    auxiliary mass/linear lanes directly (per-point arrays; default 0) —
-    e.g. ``e1 = B`` accumulates ``sum u^2``, ``e2 = B*phi`` accumulates
-    ``sum u*phi``.
+    FULL solution u; the trial-factor chain rule is delegated to
+    :func:`.fused_step.residual_coefficients` (single source of the
+    product-rule algebra) and the auxiliary lanes are appended:
+    ``e1``/``e2`` fill the mass/linear lanes directly (per-point arrays;
+    default 0) — e.g. ``e1 = B`` accumulates ``sum u^2``, ``e2 = B*phi``
+    accumulates ``sum u*phi``.
     """
-    B, gB, lB = factor_jet.value, factor_jet.grad, factor_jet.lap
-    N, d = gB.shape
+    from .fused_step import residual_coefficients
+
+    B = factor_jet.value
+    N, d = factor_jet.grad.shape
     zero = jnp.zeros((N,), B.dtype)
-    c0v = zero if c0 is None else jnp.broadcast_to(jnp.asarray(c0), (N,))
-    a0v = jnp.broadcast_to(jnp.asarray(a0), (N,))
-    rhsv = zero if rhs is None else jnp.broadcast_to(jnp.asarray(rhs), (N,))
-    if b0 is None:
-        b0v = jnp.zeros((N, d), B.dtype)
-    else:
-        b0v = jnp.broadcast_to(jnp.asarray(b0), (N, d))
-    a = a0v * B
-    b = a0v[:, None] * 2.0 * gB + b0v * B[:, None]
-    c = a0v * lB + jnp.sum(b0v * gB, axis=1) + c0v * B
+    core = residual_coefficients(factor_jet, c0=c0, b0=b0, a0=a0, rhs=rhs)
     e1v = zero if e1 is None else jnp.broadcast_to(jnp.asarray(e1), (N,))
     e2v = zero if e2 is None else jnp.broadcast_to(jnp.asarray(e2), (N,))
+    # core = [c, b_0.., a, rhs, e(unused)]; replace the e lane with e1, e2
     return jnp.concatenate(
-        [c[:, None], b, a[:, None], rhsv[:, None], e1v[:, None],
-         e2v[:, None]], axis=1
+        [core[:, :d + 3], e1v[:, None], e2v[:, None]], axis=1
     )
 
 
 def quotient_coefficients(factor_jet, *, f=None, V=None):
     """(N, d+3) stream ``[B, dB_0.., f, V]`` for the quadratic energy
     kernels: ``e = 1/2|grad u|^2 - f u + V u^2`` (V=None -> Poisson energy,
-    f=None -> Schrodinger Rayleigh numerator)."""
-    B, gB = factor_jet.value, factor_jet.grad
+    f=None -> Schrodinger Rayleigh numerator).  Reuses
+    :func:`.fused_step.drm_coefficients` for the [B, dB, f] block."""
+    from .fused_step import drm_coefficients
+
+    B = factor_jet.value
     N = B.shape[0]
-    zero = jnp.zeros((N,), B.dtype)
-    fv = zero if f is None else jnp.broadcast_to(jnp.asarray(f), (N,))
-    Vv = zero if V is None else jnp.broadcast_to(jnp.asarray(V), (N,))
-    return jnp.concatenate([B[:, None], gB, fv[:, None], Vv[:, None]],
-                           axis=1)
+    core = drm_coefficients(factor_jet, f=f)
+    Vv = (jnp.zeros((N,), B.dtype) if V is None
+          else jnp.broadcast_to(jnp.asarray(V), (N,)))
+    return jnp.concatenate([core, Vv[:, None]], axis=1)
 
 
 # ------------------------------------------------------------------- raw API

@@ -74,9 +74,9 @@ def main():
         row = run(impl.strip(), a.grid, a.e1, a.e2, a.chunk)
         print(json.dumps(row))
         rows.append(row)
-    if (len(rows) == 2
-            and all(r.get("epochs_per_sec", 0) > 0 for r in rows)):
-        speedup = rows[1]["epochs_per_sec"] / rows[0]["epochs_per_sec"]
+    by_impl = {r["impl"]: r.get("epochs_per_sec", 0) for r in rows}
+    if by_impl.get("xla", 0) > 0 and by_impl.get("pallas-fused", 0) > 0:
+        speedup = by_impl["pallas-fused"] / by_impl["xla"]
         print(json.dumps({"speedup_fused_over_xla": round(speedup, 3)}))
     if a.out:
         out = {"rows": rows, "shape": "ipw2d n33 WAN FN EG winner",

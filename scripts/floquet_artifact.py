@@ -23,7 +23,12 @@ OUTDIR = os.path.join(
     "artifacts", "KH_Floquet")
 
 
-def main(epochs: int = 20000):
+def main(epochs: int = 20000, *, cfg_kw: dict | None = None,
+         tag: str = "", results_name: str = "results_floquet.json"):
+    """Train n=0,1 at the given operating point (``cfg_kw`` overrides the
+    KHFloquetConfig defaults), save harmonic plots + a JSON row ledger.
+    Parameterised so other operating points (scripts/floquet_point2.py)
+    reuse this loop instead of copying it."""
     import numpy as np
 
     from nnpde_tpu.exp.plotting import plot_floquet_harmonics
@@ -31,10 +36,11 @@ def main(epochs: int = 20000):
         KHFloquetConfig, train_kh_floquet,
     )
 
+    cfg_kw = dict(cfg_kw or {})
     os.makedirs(OUTDIR, exist_ok=True)
     rows = []
     for n in (0, 1):
-        cfg = KHFloquetConfig(n=n, epochs=epochs, chunk=1000)
+        cfg = KHFloquetConfig(n=n, epochs=epochs, chunk=1000, **cfg_kw)
         t0 = time.time()
         out = train_kh_floquet(cfg)
         gt_re, gt_im = out["gt"].resample(out["x"])
@@ -42,9 +48,10 @@ def main(epochs: int = 20000):
             out["x"], out["phi_re"], out["phi_im"],
             np.asarray(gt_re[:, :, n]), np.asarray(gt_im[:, :, n]),
             M=cfg.M, eps_est=out["eps_est"],
-            out_png=os.path.join(OUTDIR, f"floquet_n{n}.png"),
+            out_png=os.path.join(OUTDIR, f"floquet_{tag}n{n}.png"),
         )
         row = {
+            "alpha": cfg.alpha, "omega": cfg.omega, "M": cfg.M,
             "n": n, "rel_l2": out["rel_l2"], "eps_est": out["eps_est"],
             "eps_ref": out["eps_ref"], "eps_avg": out["eps_avg"],
             "harmonic_weights": out["harmonic_weights"],
@@ -53,8 +60,9 @@ def main(epochs: int = 20000):
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    json.dump(rows, open(os.path.join(OUTDIR, "results_floquet.json"), "w"),
+    json.dump(rows, open(os.path.join(OUTDIR, results_name), "w"),
               indent=1)
+    return rows
 
 
 if __name__ == "__main__":

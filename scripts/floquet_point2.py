@@ -67,41 +67,19 @@ def ladder(m_values=(1, 2, 3, 4), N=2000):
 
 
 def train(M=3, epochs=20000):
-    import numpy as np
+    """Delegates to scripts/floquet_artifact.py's parameterised loop (one
+    artifact-producing trainer to maintain; compilation cache included)."""
+    import importlib.util
 
-    from nnpde_tpu.exp.plotting import plot_floquet_harmonics
-    from nnpde_tpu.problems.kh_floquet import (
-        KHFloquetConfig, train_kh_floquet,
-    )
-
-    os.makedirs(OUTDIR, exist_ok=True)
-    rows = []
-    for n in (0, 1):
-        cfg = KHFloquetConfig(alpha=ALPHA, omega=OMEGA, M=M, n=n,
-                              epochs=epochs, chunk=1000)
-        t0 = time.time()
-        out = train_kh_floquet(cfg)
-        gt_re, gt_im = out["gt"].resample(out["x"])
-        png = plot_floquet_harmonics(
-            out["x"], out["phi_re"], out["phi_im"],
-            np.asarray(gt_re[:, :, n]), np.asarray(gt_im[:, :, n]),
-            M=cfg.M, eps_est=out["eps_est"],
-            out_png=os.path.join(OUTDIR, f"floquet_a4_n{n}.png"),
-        )
-        row = {
-            "alpha": ALPHA, "omega": OMEGA, "M": M, "n": n,
-            "rel_l2": out["rel_l2"], "eps_est": out["eps_est"],
-            "eps_ref": out["eps_ref"], "eps_avg": out["eps_avg"],
-            "harmonic_weights": out["harmonic_weights"],
-            "best_epoch": out["best_epoch"], "epochs": epochs,
-            "elapsed_s": round(time.time() - t0, 1), "plot": png,
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-    json.dump(rows,
-              open(os.path.join(OUTDIR, "results_floquet_a4.json"), "w"),
-              indent=1)
-    return rows
+    spec = importlib.util.spec_from_file_location(
+        "floquet_artifact",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "floquet_artifact.py"))
+    fa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fa)
+    return fa.main(epochs,
+                   cfg_kw=dict(alpha=ALPHA, omega=OMEGA, M=M),
+                   tag="a4_", results_name="results_floquet_a4.json")
 
 
 if __name__ == "__main__":
