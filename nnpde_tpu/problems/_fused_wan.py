@@ -40,12 +40,16 @@ def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
                         convention: str = "wr2_over_norm",
                         eps: float = 1e-8, objective: str = "neg_log",
                         log_eps: float = 1e-8, impl: str = "pallas",
+                        w_norm: float = 0.0, vol: float = 1.0,
                         **call_kw):
     """Build the fused ``(u_pde_fn, v_loss_fn)`` pair.
 
     * ``u_pde_fn(u_net_params, E, v_params, X, wv, dwv, V=None)`` returns
-      ``(w_pde * pde_loss, aux)`` — differentiable w.r.t. the net params
-      AND E (fixed-E problems just pass a constant).
+      ``(w_pde * pde_loss [+ w_norm * (vol*mean(u^2)-1)^2], aux)`` —
+      differentiable w.r.t. the net params AND E (fixed-E problems just
+      pass a constant).  ``w_norm > 0`` rides the normalisation penalty on
+      the in-kernel mass lane (IPW_1D_WAN.py:112), sparing the separate
+      full-grid u forward when no other term needs the values.
     * ``v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None)`` returns
       ``(loss_v, aux)`` — differentiable w.r.t. ``v_params``.
 
@@ -54,7 +58,7 @@ def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
     """
     fused_u = make_fused_wan_u(
         u_model.spec.activation, convention=convention, eps=eps,
-        w_pde=w_pde, w_norm=0.0, **call_kw)
+        w_pde=w_pde, w_norm=w_norm, vol=vol, **call_kw)
     fused_v = make_fused_wan_v(
         v_model.spec.activation, convention=convention, eps=eps,
         objective=objective, log_eps=log_eps, **call_kw)

@@ -303,8 +303,10 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
     if fused:
         from ._fused_wan import make_fused_wan_pair
 
+        # norm rides the in-kernel mass lane; the full-grid u forward then
+        # only remains for orth (n > 1)
         u_pde_fn, v_pde_fn = make_fused_wan_pair(
-            u_model, v_model, w_pde=w["pde"])
+            u_model, v_model, w_pde=w["pde"], w_norm=w["norm"], vol=L)
         E_fix = jnp.asarray(E, jnp.float32)
 
     def wan_pde(u_params, v_params):
@@ -327,20 +329,29 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
 
     def u_loss_fn(u_params, v_params, key):
         if fused:
-            pde_w, aux = u_pde_fn(u_params, E_fix, v_params, x_grid,
-                                  wv_const, dwv_const)
-            loss_pde = aux["pde_loss"]
-            u = u_model.apply_batch(u_params, x_grid)
-            pde_term = pde_w            # already w['pde']-scaled
-        else:
-            loss_pde, u = wan_pde(u_params, v_params)
-            pde_term = w["pde"] * loss_pde
+            # pde + norm both in-kernel (w['pde']/w['norm']-scaled); the
+            # grid-sized u forward survives only for the orth projection
+            core, aux = u_pde_fn(u_params, E_fix, v_params, x_grid,
+                                 wv_const, dwv_const)
+            loss_pde, norm = aux["pde_loss"], aux["norm"]
+            if n > 1 and w["orth"] > 0:
+                u = u_model.apply_batch(u_params, x_grid)
+                orth = orthogonal_projection(u, lower, L, eps=0.0)
+            else:
+                orth = jnp.asarray(0.0)
+            data = data_mse(u_model.apply_batch(u_params, x_data), u_data)
+            bc = jnp.mean(u_model.apply_batch(u_params, x_bc) ** 2)
+            total = (core + w["orth"] * orth + w["data"] * data
+                     + w["bc"] * bc)
+            return total, {"pde": loss_pde, "norm": norm, "data": data,
+                           "bc": bc, "orth": orth}
+        loss_pde, u = wan_pde(u_params, v_params)
         norm = norm_integral(u, L)
         data = data_mse(u_model.apply_batch(u_params, x_data), u_data)
         bc = jnp.mean(u_model.apply_batch(u_params, x_bc) ** 2)
         orth = orthogonal_projection(u, lower, L, eps=0.0) if n > 1 else jnp.asarray(0.0)
         total = (
-            pde_term + w["norm"] * norm + w["orth"] * orth
+            w["pde"] * loss_pde + w["norm"] * norm + w["orth"] * orth
             + w["data"] * data + w["bc"] * bc
         )
         return total, {"pde": loss_pde, "norm": norm, "data": data, "bc": bc,

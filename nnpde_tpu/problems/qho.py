@@ -339,8 +339,9 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
     if fused:
         from ._fused_wan import make_fused_wan_pair
 
+        # norm rides the in-kernel mass lane (vol = 2L, QHO_1D_WAN.py:137)
         u_pde_fn, v_pde_fn = make_fused_wan_pair(
-            u_model, v_model, w_pde=w["pde"])
+            u_model, v_model, w_pde=w["pde"], w_norm=w["norm"], vol=volume)
 
     def wan_pde(u_params, v_params):
         u, gu = u_model.value_and_grad(u_params["net"], x_grid)
@@ -364,14 +365,27 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
     def u_loss_fn(u_params, v_params, key):
         if fused:
             # E is a primal pytree leaf — its exact gradient rides the
-            # custom VJP's u*phi lane (QHO_1D_WAN.py:101,131)
-            pde_w, aux = u_pde_fn(u_params["net"], u_params["E"], v_params,
-                                  x_grid, wv_const, dwv_const, V=V)
-            loss_pde = aux["pde_loss"]
-            u = u_model.apply_batch(u_params["net"], x_grid)
-        else:
-            loss_pde, u = wan_pde(u_params, v_params)
-            pde_w = w["pde"] * loss_pde
+            # custom VJP's u*phi lane (QHO_1D_WAN.py:101,131); pde + norm
+            # both in-kernel, grid-sized u forward only for orth (n > 0)
+            core, aux = u_pde_fn(u_params["net"], u_params["E"], v_params,
+                                 x_grid, wv_const, dwv_const, V=V)
+            loss_pde, norm = aux["pde_loss"], aux["norm"]
+            if n > 0 and w["orth"] > 0:
+                u = u_model.apply_batch(u_params["net"], x_grid)
+                orth = orthogonal_projection(u, lower, volume, eps=0.0)
+            else:
+                orth = jnp.asarray(0.0)
+            data = data_mse(
+                u_model.apply_batch(u_params["net"], x_data), u_data)
+            bc = jnp.mean(u_model.apply_batch(u_params["net"], x_bc) ** 2)
+            total = (core + w["orth"] * orth + w["data"] * data
+                     + w["bc"] * bc)
+            return total, {
+                "pde": loss_pde, "norm": norm, "data": data, "bc": bc,
+                "orth": orth, "E": u_params["E"],
+            }
+        loss_pde, u = wan_pde(u_params, v_params)
+        pde_w = w["pde"] * loss_pde
         norm = norm_integral(u, volume)
         data = data_mse(u_model.apply_batch(u_params["net"], x_data), u_data)
         bc = jnp.mean(u_model.apply_batch(u_params["net"], x_bc) ** 2)
