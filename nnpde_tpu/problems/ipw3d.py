@@ -65,11 +65,6 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
         raise ValueError(f"Unknown technique: {cfg.technique}")
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if cfg.jet_impl == "pallas-fused" and cfg.method != "PINN":
-        raise ValueError(
-            "jet_impl='pallas-fused' fuses the strong-form residual loss "
-            "(kernels/fused_step.py) — PINN only"
-        )
     chunk = (min(cfg.chunk, runtime.pallas_chunk_cap())
              if cfg.jet_impl.startswith("pallas") else cfg.chunk)
     nq, L = (cfg.nx, cfg.ny, cfg.nz), cfg.L
@@ -117,9 +112,29 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
     if cfg.weights:
         w.update(cfg.weights)
 
+    # fused eigen-DRM (two-pass Rayleigh; weight 2x = the unscaled IPW
+    # convention), resample-aware — the coefficient stream is rebuilt per
+    # step from the factor jet when QMC resampling is on
+    fused_drm = cfg.method == "DRM" and cfg.jet_impl == "pallas-fused"
+    if fused_drm:
+        from ..kernels import make_fused_rayleigh, quotient_coefficients
+
+        ray_loss = make_fused_rayleigh(
+            model.spec.activation, weight=2.0 * w["drm"], den_eps=1e-8)
+        coef_ray_fix = (None if cfg.resample
+                        else quotient_coefficients(model.factor.jet(X_fix)))
+
     def loss_fn(params, key_e):
         X_cur = (draw(jax.random.fold_in(key_e, 3)) if cfg.resample
                  else X_fix)
+        if fused_drm:
+            coef_q = (quotient_coefficients(model.factor.jet(X_cur))
+                      if cfg.resample else coef_ray_fix)
+            total_drm, aux_ray = ray_loss(params, X_cur, coef_q)
+            data = data_mse(model.apply_batch(params, X_data), u_data)
+            total = total_drm + w["data"] * data
+            return total, {"pde": jnp.asarray(0.0),
+                           "drm": 2.0 * aux_ray["rayleigh"], "data": data}
         if cfg.method == "PINN":
             jet = model.fields(
                 params, X_cur,
@@ -143,7 +158,7 @@ def train_ipw_3d(cfg: IPW3DConfig) -> Dict:
         u = model.apply_batch(params, X_ev)
         return jnp.mean((u - u_ev) ** 2)
 
-    if cfg.jet_impl == "pallas-fused":
+    if cfg.jet_impl == "pallas-fused" and cfg.method == "PINN":
         from ..kernels import fused_linear_residual, residual_coefficients
 
         coef_fix = (None if cfg.resample

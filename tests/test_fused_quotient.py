@@ -493,3 +493,23 @@ def test_poisson_wan_fused_matches_xla():
                                np.asarray(a["history"]["total"]),
                                rtol=5e-2)
     assert np.isfinite(b["rel_l2"])
+
+
+def test_ipw3d_drm_fused_matches_xla():
+    """3D well DRM via the fused Rayleigh, incl. the QMC-resample path
+    (regression: this combination previously hit the PINN fused hook with
+    w_pde = 0 and silently trained on the data term alone)."""
+    from nnpde_tpu.problems.ipw3d import IPW3DConfig, train_ipw_3d
+
+    base = dict(nx=1, ny=1, nz=1, method="DRM", epochs=30, n_interior=256,
+                data_grid_n=6, layers=(3, 16, 16, 1), chunk=15, seed=0,
+                n_eval=512, resample=False)
+    a = train_ipw_3d(IPW3DConfig(jet_impl="xla", **base))
+    b = train_ipw_3d(IPW3DConfig(jet_impl="pallas-fused", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-4)
+    assert float(np.asarray(b["history"]["drm"])[0]) > 0.0
+    base2 = dict(base, resample=True)
+    r = train_ipw_3d(IPW3DConfig(jet_impl="pallas-fused", sampler="sobol",
+                                 **base2))
+    assert np.all(np.isfinite(np.asarray(r["history"]["total"])))
