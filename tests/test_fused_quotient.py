@@ -513,3 +513,34 @@ def test_ipw3d_drm_fused_matches_xla():
     r = train_ipw_3d(IPW3DConfig(jet_impl="pallas-fused", sampler="sobol",
                                  **base2))
     assert np.all(np.isfinite(np.asarray(r["history"]["total"])))
+
+
+def test_no_lap_mode_equals_lap_mode_when_a_is_zero():
+    """Raw-API A/B: with the a column zero, the lap-free recompute gives
+    identical sums and seeded grads to the full-stream path."""
+    d, act = 2, "sin"
+    model, params, X, L = _setup(d, 16, act, seed=17, N=256)
+    N = X.shape[0]
+    key = jax.random.PRNGKey(3)
+    B = model.factor.jet(X)
+    coef = linear_functional_coefficients(
+        B, c0=jax.random.normal(key, (N,)),
+        b0=jax.random.normal(jax.random.fold_in(key, 1), (N, d)),
+        a0=0.0, e1=B.value, e2=B.value)
+    from nnpde_tpu.kernels.fused_quotient import fused_seeded_grads
+
+    s_lap = fused_linear_sums(params, X, coef, act, no_lap=False, **KW)
+    s_nolap = fused_linear_sums(params, X, coef, act, no_lap=True, **KW)
+    for k in ("sum_r", "sum_r2", "sum_mass", "sum_e2"):
+        np.testing.assert_allclose(float(s_nolap[k]), float(s_lap[k]),
+                                   rtol=1e-6)
+    g_lap = fused_seeded_grads(params, X, coef, (0.3, 0.1, 0.05), act,
+                               no_lap=False, **KW)
+    g_nolap = fused_seeded_grads(params, X, coef, (0.3, 0.1, 0.05), act,
+                                 no_lap=True, **KW)
+    for a, b in zip(jax.tree_util.tree_leaves(g_nolap),
+                    jax.tree_util.tree_leaves(g_lap)):
+        # dropping the lap stream changes the concat-dot shape, so the
+        # summation association differs at the last-bit level
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
