@@ -16,6 +16,8 @@ KH_1D.py:244-269) — so the fused u/v objective construction
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
+
 import jax.numpy as jnp
 
 from ..kernels import (
@@ -24,6 +26,18 @@ from ..kernels import (
     make_fused_wan_v,
 )
 from ..ops.fwdlap import Jet
+
+
+class FusedWanPair(NamedTuple):
+    """The fused WAN objective set.  Unpacking the first two fields keeps
+    the original (u_pde_fn, v_loss_fn) contract; ``v_coef_fn`` +
+    ``v_loss_from_coef`` are the split used with fit_wan's
+    ``v_context_fn`` on fixed-quadrature trainers."""
+
+    u_pde_fn: Callable
+    v_loss_fn: Callable
+    v_coef_fn: Callable
+    v_loss_from_coef: Callable
 
 
 def factor_jet_or_one(model, X):
@@ -76,7 +90,11 @@ def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
             e2=Bu.value * phi)
         return fused_u(u_net_params, E, X, base, phi_norm)
 
-    def v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None, f=None):
+    def v_coef_fn(u_net_params, E, X, wv, dwv, V=None, f=None):
+        """The critic's coefficient stream — a function of the FROZEN
+        primal only, so trainers with fixed quadrature compute it once per
+        epoch (fit_wan's ``v_context_fn``) instead of once per inner
+        critic step (5x fewer u-jet evaluations at v_steps = 5)."""
         u, gu = u_model.value_and_grad(u_net_params, X, impl=impl)
         Bv = factor_jet_or_one(v_model, X)
         Wm = wv * Bv.value
@@ -85,8 +103,14 @@ def make_fused_wan_pair(u_model, v_model, *, w_pde: float = 1.0,
         c0 = (V - E) * u if V is not None else -E * u
         if f is not None:
             c0 = c0 - f
-        coef = linear_functional_coefficients(
+        return linear_functional_coefficients(
             wjet, c0=c0, b0=prefactor * gu, e1=Wm)
+
+    def v_loss_from_coef(v_params, X, coef):
         return fused_v(v_params, X, coef)
 
-    return u_pde_fn, v_loss_fn
+    def v_loss_fn(v_params, u_net_params, E, X, wv, dwv, V=None, f=None):
+        coef = v_coef_fn(u_net_params, E, X, wv, dwv, V=V, f=f)
+        return fused_v(v_params, X, coef)
+
+    return FusedWanPair(u_pde_fn, v_loss_fn, v_coef_fn, v_loss_from_coef)

@@ -300,14 +300,23 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
     wv_const, dwv_const = bump_w(x_grid, 0.0, L)
 
     fused = cfg.jet_impl == "pallas-fused"
+    v_context_fn = None
     if fused:
         from ._fused_wan import make_fused_wan_pair
 
         # norm rides the in-kernel mass lane; the full-grid u forward then
         # only remains for orth (n > 1)
-        u_pde_fn, v_pde_fn = make_fused_wan_pair(
+        pair = make_fused_wan_pair(
             u_model, v_model, w_pde=w["pde"], w_norm=w["norm"], vol=L)
+        u_pde_fn = pair.u_pde_fn
         E_fix = jnp.asarray(E, jnp.float32)
+
+        # fixed grid: the critic coefficient stream (u-jet + weak-form
+        # algebra) is frozen across the inner critic steps — build once
+        # per epoch via fit_wan's v_context_fn
+        def v_context_fn(u_params, key):
+            return pair.v_coef_fn(u_params, E_fix, x_grid,
+                                  wv_const, dwv_const)
 
     def wan_pde(u_params, v_params):
         u, gu = u_model.value_and_grad(u_params, x_grid)
@@ -319,12 +328,13 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
         loss_pde = wan_pde_loss(weak, phi_norm)
         return loss_pde, u
 
-    def v_loss_fn(v_params, u_params, key):
+    def v_loss_fn(v_params, ctx, key):
+        # ctx = the per-epoch critic coefficient stream (fused) or the
+        # primal params (identity context, non-fused)
         if fused:
-            lv, _ = v_pde_fn(v_params, u_params, E_fix, x_grid,
-                             wv_const, dwv_const)
+            lv, _ = pair.v_loss_from_coef(v_params, x_grid, ctx)
             return lv
-        loss_pde, _ = wan_pde(u_params, v_params)
+        loss_pde, _ = wan_pde(ctx, v_params)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):
@@ -371,6 +381,7 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
         u_optimizer=u_opt, v_optimizer=v_opt,
         key=jax.random.fold_in(key, 2), chunk=cfg.chunk,
         minimax=cfg.minimax, u_ema=cfg.u_ema,
+        v_context_fn=v_context_fn,
     )
     return {
         "config": dataclasses.asdict(cfg),

@@ -448,19 +448,34 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         # data/norm terms keep their reference quadrature rules on the
         # standard path (they need u forwards at reflected points anyway).
         fused_wan = cfg.jet_impl == "pallas-fused"
+        # with a FIXED quadrature grid, the critic coefficient stream is
+        # frozen across the inner critic steps — build once per epoch
+        fused_fixed = fused_wan and not (cfg.grid_jitter or cfg.wan_resample)
         if fused_wan:
             from ._fused_wan import make_fused_wan_pair
 
-            u_pde_fn, v_pde_fn = make_fused_wan_pair(
-                model, v_model, w_pde=w["pde"])
+            pair = make_fused_wan_pair(model, v_model, w_pde=w["pde"])
+            u_pde_fn = pair.u_pde_fn
             E_fix = jnp.asarray(E, jnp.float32)
+        if fused_fixed:
+            def v_context_fn(u_params, key):
+                return pair.v_coef_fn(u_params, E_fix, X,
+                                      wv_const, dwv_const)
+        else:
+            v_context_fn = None
 
         def make_wan_losses(dtype):
             if fused_wan and dtype == "float32":
-                def v_loss_fn(v_params, u_params, key):
+                def v_loss_fn(v_params, ctx, key):
+                    # ctx = the per-epoch coefficient stream (fixed grid)
+                    # or the primal params (jitter/resample: points and
+                    # therefore the u-jet change per inner step)
+                    if fused_fixed:
+                        lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
+                        return lv
                     Xw, wv_c, dwv_c = pick_points(key)
-                    lv, _ = v_pde_fn(v_params, u_params, E_fix, Xw,
-                                     wv_c, dwv_c)
+                    lv, _ = pair.v_loss_fn(v_params, ctx, E_fix, Xw,
+                                           wv_c, dwv_c)
                     return lv
 
                 def u_loss_fn(u_params, v_params, key):
@@ -554,7 +569,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 u_loss_fn, v_loss_fn, eval_fn, params, v_params,
                 epochs=cfg.epochs - bulk,
                 key=jax.random.fold_in(key, 1), start_epoch=bulk,
-                init_carry=r1.carry, **wan_kw,
+                init_carry=r1.carry, v_context_fn=v_context_fn, **wan_kw,
             )
             hist = {k: _np.concatenate([r1.history[k], result.history[k]])
                     for k in result.history}
@@ -564,7 +579,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 u_loss_fn, v_loss_fn, eval_fn, params, v_params,
                 epochs=cfg.epochs,
                 key=jax.random.fold_in(key, 1), compile_only=compile_only,
-                **wan_kw,
+                v_context_fn=v_context_fn, **wan_kw,
             )
             if compile_only:
                 return result

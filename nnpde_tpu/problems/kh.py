@@ -260,15 +260,22 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
         # normalisation rescales to plain means with eps = 1e-12/(2L)
         # (num and den both carry the 2L volume); direct-ascent critic
         fused_wan = cfg.jet_impl == "pallas-fused"
+        v_context_fn = None
         if fused_wan:
             from ..ops import bump_w
             from ._fused_wan import make_fused_wan_pair
 
-            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+            pair = make_fused_wan_pair(
                 model, v_model, w_pde=cfg.lambda_pde,
                 convention="ratio_sq", eps=1e-12 / (2.0 * L),
                 objective="neg")
+            u_pde_fn = pair.u_pde_fn
             wv_kh, dwv_kh = bump_w(X, -L, L)
+
+            # fixed grid: critic coefficient stream once per epoch
+            def v_context_fn(u_params, key):
+                return pair.v_coef_fn(u_params["net"], u_params["E"], X,
+                                      wv_kh, dwv_kh, V=V_train)
 
         def wan_pde(params, v_params):
             u, gu = model.value_and_grad(params["net"], X)
@@ -288,12 +295,11 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             pde = (I_full / norm_phi) ** 2      # ratio-squared (KH_1D.py:267)
             return pde, u
 
-        def v_loss_fn(v_params, u_params, key):
+        def v_loss_fn(v_params, ctx, key):
             if fused_wan:
-                lv, _ = v_pde_fn(v_params, u_params["net"], u_params["E"],
-                                 X, wv_kh, dwv_kh, V=V_train)
+                lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
                 return lv
-            pde, _ = wan_pde(u_params, v_params)
+            pde, _ = wan_pde(ctx, v_params)
             return -pde                          # direct ascent (KH_1D.py:347-350)
 
         def u_loss_fn(u_params, v_params, key):
@@ -324,6 +330,7 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             u_optimizer=optax.adam(cfg.lr),
             v_optimizer=optax.adam(cfg.lr * 2.0),   # KH_1D.py:336
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
+            v_context_fn=v_context_fn,
         )
 
     best = result.best_params

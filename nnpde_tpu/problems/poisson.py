@@ -457,8 +457,11 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
             from ..kernels import make_fused_quad_mean, quotient_coefficients
             from ._fused_wan import factor_jet_or_one, make_fused_wan_pair
 
-            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+            # fresh resampling per step (Poisson_ND.py:244-253): no
+            # per-epoch critic context is possible — use the plain pair
+            pair = make_fused_wan_pair(
                 model, critic, w_pde=w["pde"], prefactor=1.0)
+            u_pde_fn, v_pde_fn = pair.u_pde_fn, pair.v_loss_fn
             quad_reg = (make_fused_quad_mean(
                 critic.spec.activation, weight=2.0 * cfg.wan_reg)
                 if cfg.wan_reg else None)

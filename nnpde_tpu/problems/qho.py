@@ -336,12 +336,20 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
     wv_const, dwv_const = bump_w(x_grid, -x_max, x_max)
 
     fused = cfg.jet_impl == "pallas-fused"
+    v_context_fn = None
     if fused:
         from ._fused_wan import make_fused_wan_pair
 
         # norm rides the in-kernel mass lane (vol = 2L, QHO_1D_WAN.py:137)
-        u_pde_fn, v_pde_fn = make_fused_wan_pair(
+        pair = make_fused_wan_pair(
             u_model, v_model, w_pde=w["pde"], w_norm=w["norm"], vol=volume)
+        u_pde_fn = pair.u_pde_fn
+
+        # fixed grid: build the critic coefficient stream (incl. the
+        # CURRENT trainable E) once per epoch
+        def v_context_fn(u_params, key):
+            return pair.v_coef_fn(u_params["net"], u_params["E"], x_grid,
+                                  wv_const, dwv_const, V=V)
 
     def wan_pde(u_params, v_params):
         u, gu = u_model.value_and_grad(u_params["net"], x_grid)
@@ -354,12 +362,11 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         phi_norm = jnp.mean(phi**2)
         return wan_pde_loss(weak, phi_norm), u
 
-    def v_loss_fn(v_params, u_params, key):
+    def v_loss_fn(v_params, ctx, key):
         if fused:
-            lv, _ = v_pde_fn(v_params, u_params["net"], u_params["E"],
-                             x_grid, wv_const, dwv_const, V=V)
+            lv, _ = pair.v_loss_from_coef(v_params, x_grid, ctx)
             return lv
-        loss_pde, _ = wan_pde(u_params, v_params)
+        loss_pde, _ = wan_pde(ctx, v_params)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):
@@ -417,6 +424,7 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         u_optimizer=u_opt, v_optimizer=v_opt,
         key=jax.random.fold_in(key, 2), chunk=cfg.chunk,
         minimax=cfg.minimax, u_ema=cfg.u_ema,
+        v_context_fn=v_context_fn,
     )
     # Rayleigh-quotient energy of the best iterate: <1/2 u'^2 + V u^2> /
     # <u^2>.  The weak-form E parameter is only first-order accurate in the

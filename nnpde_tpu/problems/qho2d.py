@@ -364,12 +364,19 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
 
         # two-pass fused WAN objectives (fixed exact E, QHO_2D.py:204-225)
         fused_wan = cfg.jet_impl == "pallas-fused"
+        v_context_fn = None
         if fused_wan:
             from ._fused_wan import make_fused_wan_pair
 
-            u_pde_fn, v_pde_fn = make_fused_wan_pair(
+            pair = make_fused_wan_pair(
                 u_model, v_model, w_pde=w["pde"])
+            u_pde_fn = pair.u_pde_fn
             E_fix = jnp.asarray(E_exact, jnp.float32)
+
+            # fixed grid: critic coefficient stream once per epoch
+            def v_context_fn(u_params, key):
+                return pair.v_coef_fn(u_params["net"], E_fix, X,
+                                      wv_const, dwv_const, V=V)
 
         def wan_pde(u_params, v_params):
             u, gu = u_model.value_and_grad(u_params["net"], X)
@@ -382,12 +389,11 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             phi_norm = jnp.mean(phi**2)
             return wan_pde_loss(weak, phi_norm), u
 
-        def v_loss_fn(v_params, u_params, key):
+        def v_loss_fn(v_params, ctx, key):
             if fused_wan:
-                lv, _ = v_pde_fn(v_params, u_params["net"], E_fix, X,
-                                 wv_const, dwv_const, V=V)
+                lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
                 return lv
-            loss_pde, _ = wan_pde(u_params, v_params)
+            loss_pde, _ = wan_pde(ctx, v_params)
             return -jnp.log(loss_pde + 1e-8)
 
         def u_loss_fn(u_params, v_params, key):
@@ -421,6 +427,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             u_optimizer=u_opt, v_optimizer=v_opt,
             key=jax.random.fold_in(key, 1), chunk=cfg.chunk,
             minimax=cfg.minimax, u_ema=cfg.u_ema,
+            v_context_fn=v_context_fn,
         )
         learned_E = E_exact
 

@@ -229,6 +229,7 @@ def fit_wan(
     minimax: str = "alternating",    # alternating | extragradient | optimistic
     u_ema: float = 0.0,              # >0: track an EMA of u and eval it too
     compile_only: bool = False,      # lower+compile only; return memory stats
+    v_context_fn: Optional[Callable] = None,
 ) -> FitResult:
     """Fused adversarial training step: v_steps critic updates then one
     primal update, all inside one compiled scan step.
@@ -253,6 +254,15 @@ def fit_wan(
     """
     if minimax not in ("alternating", "extragradient", "optimistic"):
         raise ValueError(f"Unknown minimax mode {minimax!r}")
+    # ``v_context_fn(u_params, key)``: optional per-epoch precomputation of
+    # everything the critic objective needs from the FROZEN primal (e.g.
+    # the fused path's u-jet + coefficient stream, problems/_fused_wan.py)
+    # — computed once per epoch instead of once per inner critic step, and
+    # recomputed at the extragradient lookahead point.  When given,
+    # ``v_loss_fn`` receives the context in place of ``u_params``.
+    if v_context_fn is None:
+        def v_context_fn(u_params, key):  # noqa: ANN001 — identity context
+            return u_params
     enable_compilation_cache()
     u_opt_state = u_optimizer.init(u_params)
     v_opt_state = v_optimizer.init(v_params)
@@ -268,11 +278,12 @@ def fit_wan(
             # EG/OGDA handle the final (paired) update themselves, so they
             # run one fewer plain critic step here.
             n_plain = v_steps if minimax == "alternating" else v_steps - 1
+            v_ctx = v_context_fn(u_params, k)
 
             def v_body(i, val):
                 v_params, v_opt, _ = val
                 vk = jax.random.fold_in(k, i)
-                v_loss, gv = jax.value_and_grad(v_loss_fn)(v_params, u_params, vk)
+                v_loss, gv = jax.value_and_grad(v_loss_fn)(v_params, v_ctx, vk)
                 updates, v_opt = v_optimizer.update(gv, v_opt, v_params)
                 v_params = optax.apply_updates(v_params, updates)
                 return (v_params, v_opt, v_loss)
@@ -294,7 +305,7 @@ def fit_wan(
                 (_, _), gu1 = jax.value_and_grad(u_loss_fn, has_aux=True)(
                     u_params, v_params, uk)
                 last_v_loss, gv1 = jax.value_and_grad(v_loss_fn)(
-                    v_params, u_params, vk)
+                    v_params, v_ctx, vk)
                 du, _ = u_optimizer.update(gu1, u_opt, u_params)
                 dv, _ = v_optimizer.update(gv1, v_opt, v_params)
                 u_bar = optax.apply_updates(u_params, du)
@@ -302,7 +313,8 @@ def fit_wan(
                 # real update with the lookahead gradients
                 (loss, metrics), gu2 = jax.value_and_grad(
                     u_loss_fn, has_aux=True)(u_bar, v_bar, uk)
-                gv2 = jax.grad(v_loss_fn)(v_bar, u_bar, vk)
+                gv2 = jax.grad(v_loss_fn)(v_bar, v_context_fn(u_bar, vk),
+                                          vk)
                 du2, u_opt = u_optimizer.update(gu2, u_opt, u_params)
                 dv2, v_opt = v_optimizer.update(gv2, v_opt, v_params)
                 u_params = optax.apply_updates(u_params, du2)
@@ -311,7 +323,7 @@ def fit_wan(
                 (loss, metrics), gu = jax.value_and_grad(
                     u_loss_fn, has_aux=True)(u_params, v_params, uk)
                 last_v_loss, gv = jax.value_and_grad(v_loss_fn)(
-                    v_params, u_params, vk)
+                    v_params, v_ctx, vk)
                 pgu, pgv = prev_g
                 eg_u = jax.tree_util.tree_map(lambda g, p: 2.0 * g - p, gu, pgu)
                 eg_v = jax.tree_util.tree_map(lambda g, p: 2.0 * g - p, gv, pgv)
