@@ -179,6 +179,14 @@ def _run(all_devices: bool = False, batch: int | None = None,
     else:
         mesh = shard = None
 
+    use_analytic = kernel_mode == "fused-analytic"
+    if use_analytic:
+        # in-kernel analytic coefficients: only X itself crosses HBM
+        # (kernels/fused_step.py fused_poisson_analytic) — the coefficient
+        # stream (d+4 floats/pt, the dominant remaining HBM traffic of the
+        # fused step at this shape) disappears
+        from nnpde_tpu.kernels import fused_poisson_analytic
+
     if use_fused:
         from nnpde_tpu.kernels import (
             fused_linear_residual, residual_coefficients,
@@ -199,7 +207,11 @@ def _run(all_devices: bool = False, batch: int | None = None,
     def step(carry, _):
         params, opt_state = carry
         with jax.default_matmul_precision("highest"):
-            if use_fused:
+            if use_analytic:
+                loss, _, grads = fused_poisson_analytic(
+                    params, X, "sin", L=L, ks=[1, 1]
+                )
+            elif use_fused:
                 if fused_sharded is not None:
                     loss, _, grads = fused_sharded(params, X, coef)
                 else:
@@ -265,7 +277,8 @@ if __name__ == "__main__":
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="validation mode: force an N-device virtual CPU "
                          "mesh instead of the real backend")
-    ap.add_argument("--kernel-mode", choices=["exact", "bf16", "fused"],
+    ap.add_argument("--kernel-mode",
+                    choices=["exact", "bf16", "fused", "fused-analytic"],
                     default="exact",
                     help="bf16 = the 1-pass-bf16 jet kernel (the "
                          "'hybrid-kernel' bulk phase) as a second bench "

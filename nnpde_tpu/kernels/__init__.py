@@ -3,6 +3,7 @@ from .fused_step import (
     drm_coefficients,
     fused_drm_energy,
     fused_linear_residual,
+    fused_poisson_analytic,
     residual_coefficients,
 )
 from .fused_quotient import (

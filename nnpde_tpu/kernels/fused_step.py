@@ -44,6 +44,7 @@ leaves the kernel, so d is limited only by VMEM (the d+2 streams).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Sequence, Tuple
 
 import jax
@@ -349,6 +350,7 @@ def _fused_call(
     lane_pack: int | None = None,
     scalars=None,
     grads_out: bool = True,
+    coef_stream: bool = True,
 ):
     """Shared plumbing for the fused kernels: tile selection, padding,
     2-point lane packing, pallas_call, and dW/db block folding.
@@ -369,7 +371,7 @@ def _fused_call(
     bs = [b.reshape(1, -1) for _, b in params]
     d = X.shape[1]
     K = len(Ws)
-    if coef.shape != (X.shape[0], nc):
+    if coef_stream and coef.shape != (X.shape[0], nc):
         raise ValueError(
             f"coef must be (N, {nc}) = ({X.shape[0]}, {nc}), "
             f"got {coef.shape}"
@@ -390,7 +392,7 @@ def _fused_call(
     Xp, N, Np = _pad(X, tile)
     n_tiles = Np // tile
     coefp = coef
-    if Np != N0:
+    if coef_stream and Np != N0:
         # zero coefficients make padded rows exact no-ops (r = 0, ct = 0)
         coefp = jnp.concatenate(
             [coef, jnp.zeros((Np - N0, nc), coef.dtype)], 0
@@ -400,8 +402,9 @@ def _fused_call(
         rows = tile // 2
         Xt = Xp.reshape(n_tiles, 2, rows, d).transpose(0, 2, 1, 3).reshape(
             n_tiles, rows, 2 * d)
-        Ct = coefp.reshape(n_tiles, 2, rows, nc).transpose(
+        Ct = (coefp.reshape(n_tiles, 2, rows, nc).transpose(
             0, 2, 1, 3).reshape(n_tiles, rows, 2 * nc)
+            if coef_stream else None)
         W_in = [_block2(W) for W in Ws[:-1]]
         row = Ws[-1].reshape(1, -1)
         W_in.append(jnp.concatenate([row, row], axis=1))
@@ -409,7 +412,7 @@ def _fused_call(
         T, din, dcoef = rows, 2 * d, 2 * nc
     else:
         Xt = Xp.reshape(n_tiles, tile, d)
-        Ct = coefp.reshape(n_tiles, tile, nc)
+        Ct = coefp.reshape(n_tiles, tile, nc) if coef_stream else None
         W_in = list(Ws[:-1]) + [Ws[-1].reshape(1, -1)]
         b_in = list(bs[:-1])
         T, din, dcoef = tile, d, nc
@@ -430,7 +433,8 @@ def _fused_call(
     in_specs += [pl.BlockSpec(blast.shape, lambda i: (0, 0))]
     in_specs += [pl.BlockSpec((1, 128), lambda i: (0, 0))
                  for _ in scal_in]
-    in_specs += [pl.BlockSpec((1, T, dcoef), lambda i: (i, 0, 0))]
+    if coef_stream:
+        in_specs += [pl.BlockSpec((1, T, dcoef), lambda i: (i, 0, 0))]
     if grads_out:
         out_specs = (
             [pl.BlockSpec(W.shape, lambda i: (0, 0)) for W in W_in]
@@ -452,7 +456,9 @@ def _fused_call(
     # This keeps the vma checker ON for the sharded fused step (a missing
     # pmean downstream is then a static error, not a silent wrong answer).
     try:
-        vma = frozenset().union(jax.typeof(Xt).vma, jax.typeof(Ct).vma)
+        vma = frozenset().union(
+            jax.typeof(Xt).vma,
+            jax.typeof(Ct).vma if coef_stream else frozenset())
     except (AttributeError, TypeError):  # pragma: no cover — older jax
         vma = frozenset()
     if vma:
@@ -472,7 +478,8 @@ def _fused_call(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(Xt, *W_in, *b_in, blast, *scal_in, Ct)
+    )(Xt, *W_in, *b_in, blast, *scal_in,
+      *((Ct,) if coef_stream else ()))
     if not grads_out:
         return outs[0][0], N
     sums = outs[-1][0]
@@ -531,4 +538,180 @@ def fused_linear_residual(
     loss = weight * sums[0] / N
     grads = _scaled_grads(params, dWs, dbs, sums, 2.0 * weight / N)
     aux = {"sum_r2": sums[0], "sum_r_ufull": sums[2], "n": N}
+    return loss, aux, grads
+
+
+# ------------------------------------------------- analytic-coefficient mode
+def _poisson_sin_coef_builder(L, ks, a0=-1.0):
+    """In-kernel residual coefficients for the box-FBC Poisson family.
+
+    ``r = a0*lap(u) + rhs`` with ``u = B*net``, ``B = prod x_i (L - x_i)``
+    and the manufactured ``rhs = -f = -(sum (k_i pi/L)^2) prod
+    sin(k_i pi x_i / L)`` (Poisson_ND.py:49-58).  Everything is closed-form
+    in x, so the (N, d+4) coefficient stream never touches HBM — the
+    kernel reconstructs it from the X tile it already holds (~d+4 floats
+    per point of HBM traffic deleted; the dominant remaining stream of the
+    fused step at the bench shape).
+
+    PAD SAFETY: ``_pad`` zero-fills X; at x = 0 both B and f vanish, so
+    padded rows contribute exactly zero residual and zero cotangents —
+    the same invariant as a zero-padded coefficient stream.
+    """
+    ks = tuple(float(k) for k in ks)
+
+    def build(Xh):
+        d = Xh.shape[1]
+        cols = [Xh[:, i:i + 1] for i in range(d)]
+        gi = [x * (L - x) for x in cols]               # per-dim factor
+        # products over j != i without division (B = 0 on faces)
+        def prod_except(i):
+            p = None
+            for j in range(d):
+                if j == i:
+                    continue
+                p = gi[j] if p is None else p * gi[j]
+            return p if p is not None else jnp.ones_like(gi[0])
+
+        B = gi[0]
+        for j in range(1, d):
+            B = B * gi[j]
+        dB = [(L - 2.0 * cols[i]) * prod_except(i) for i in range(d)]
+        lapB = sum(-2.0 * prod_except(i) for i in range(d))
+        # manufactured RHS: f = (sum (k_i pi / L)^2) prod sin(k_i pi x / L)
+        s = None
+        for i in range(d):
+            si = jnp.sin((ks[i] * math.pi / L) * cols[i])
+            s = si if s is None else s * si
+        f = sum((k * math.pi / L) ** 2 for k in ks) * s
+        # chain rule through the trial factor (residual_coefficients with
+        # b0 = c0 = 0): a = a0*B, b_i = 2*a0*dB_i, c = a0*lapB
+        a = a0 * B
+        bsx = [2.0 * a0 * dBi for dBi in dB]
+        c = a0 * lapB
+        rhs = -f
+        return c, bsx, a, rhs
+
+    return build
+
+
+def _fused_analytic_kernel(coef_builder, n_valid, d, K, T, activation,
+                           concat_streams, dot_dtype, packed, nc,
+                           X_ref, *refs):
+    """:func:`_fused_kernel` with the coefficient stream computed IN-KERNEL
+    from the X tile (no coef operand; nc unused).  Outputs and sums-lane
+    layout identical to ``_fused_kernel`` (lane 2 = 0: no e lane in the
+    analytic families).
+
+    ``n_valid``: the unpadded point count — padded rows are masked out of
+    the residual explicitly (a streamed coefficient tensor is zero-padded
+    by construction; the analytic builder would evaluate REAL coefficients
+    at the pad value instead)."""
+    n_w = K - 1
+    Ws = [refs[i][...] for i in range(n_w)]
+    wlast_row = refs[n_w][...]
+    bs = [refs[n_w + 1 + i][...] for i in range(n_w)]
+    blast = refs[2 * n_w + 1][...][:, 0:1]
+    out_refs = refs[2 * n_w + 2:]
+    dW_refs = out_refs[:n_w]
+    dWlast_ref = out_refs[n_w]
+    db_refs = out_refs[n_w + 1:2 * n_w + 1]
+    sums_ref = out_refs[2 * n_w + 1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+
+    prec = jax.lax.Precision.DEFAULT
+    cast = ((lambda x: x.astype(jnp.bfloat16))
+            if dot_dtype == "bfloat16" else (lambda x: x))
+    X = X_ref[0]
+    Ws_c, saved, final = _fwd_recompute(
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+    )
+    _, _, _, _, A, Jmid, lmid = final
+
+    if packed:
+        vw = A.shape[1]
+        left = jax.lax.broadcasted_iota(jnp.int32, (T, vw), 1) < (vw // 2)
+
+        def proj2(S):
+            P = S * wlast_row
+            return (jnp.sum(jnp.where(left, P, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(left, 0.0, P), axis=1, keepdims=True))
+
+        va, vb = proj2(A)
+        va, vb = va + blast, vb + blast
+        gs = [proj2(Jm) for Jm in Jmid]
+        la, lb = proj2(lmid)
+        ca, bsa, aa, rha = coef_builder(X[:, :d])
+        cb, bsb, ab, rhb = coef_builder(X[:, d:])
+        ra = ca * va + aa * la + rha
+        rb = cb * vb + ab * lb + rhb
+        for j in range(d):
+            ra = ra + bsa[j] * gs[j][0]
+            rb = rb + bsb[j] * gs[j][1]
+        # packed flat indices: half a = t*2T + r, half b = t*2T + T + r
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        base = pl.program_id(0) * (2 * T)
+        ra = jnp.where(base + row < n_valid, ra, 0.0)
+        rb = jnp.where(base + T + row < n_valid, rb, 0.0)
+        s_r2 = (jnp.sum(ra * ra, keepdims=True)
+                + jnp.sum(rb * rb, keepdims=True))
+        s_rc = (jnp.sum(ra * ca, keepdims=True)
+                + jnp.sum(rb * cb, keepdims=True))
+        ct_v = jnp.where(left, ra * ca, rb * cb)
+        ct_g = [jnp.where(left, ra * bsa[j], rb * bsb[j]) for j in range(d)]
+        ct_l = jnp.where(left, ra * aa, rb * ab)
+    else:
+        value = jnp.sum(A * wlast_row, axis=1, keepdims=True) + blast
+        gs = [jnp.sum(Jm * wlast_row, axis=1, keepdims=True) for Jm in Jmid]
+        lap = jnp.sum(lmid * wlast_row, axis=1, keepdims=True)
+        c, bsx, a_, rhs = coef_builder(X)
+        r = c * value + a_ * lap + rhs
+        for j in range(d):
+            r = r + bsx[j] * gs[j]
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        r = jnp.where(pl.program_id(0) * T + row < n_valid, r, 0.0)
+        s_r2 = jnp.sum(r * r, keepdims=True)
+        s_rc = jnp.sum(r * c, keepdims=True)
+        ct_v = r * c
+        ct_g = [r * bsx[j] for j in range(d)]
+        ct_l = r * a_
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sums_ref[...] += (jnp.where(lane == 0, s_r2.reshape(1, 1), 0.0)
+                      + jnp.where(lane == 1, s_rc.reshape(1, 1), 0.0))
+    _reverse_sweep(d, K, T, activation, concat_streams, cast, prec, packed,
+                   X, Ws_c, wlast_row, saved, final, ct_v, ct_g, ct_l,
+                   dW_refs, dWlast_ref, db_refs)
+
+
+def fused_poisson_analytic(
+    params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    X,
+    activation: str,
+    *,
+    L: float,
+    ks: Sequence[int],
+    weight: float = 1.0,
+    **call_kw,
+):
+    """Fused Poisson PINN step with IN-KERNEL analytic coefficients.
+
+    ``loss = weight * mean((-lap u - f)^2)`` for ``u = B*net`` with the
+    box-FBC factor and the prod-sin manufactured RHS — the coefficient
+    stream of :func:`fused_linear_residual` is reconstructed inside the
+    kernel from the X tile (see :func:`_poisson_sin_coef_builder`), so
+    per step only X itself crosses HBM.  Same returns as
+    :func:`fused_linear_residual` (aux without the trainable-E lane).
+    """
+    builder = _poisson_sin_coef_builder(L, ks, a0=-1.0)
+    dWs, dbs, sums, N = _fused_call(
+        functools.partial(_fused_analytic_kernel, builder, X.shape[0]),
+        activation, params, X, None, 0, coef_stream=False, **call_kw,
+    )
+    loss = weight * sums[0] / N
+    grads = _scaled_grads(params, dWs, dbs, sums, 2.0 * weight / N)
+    aux = {"sum_r2": sums[0], "n": N}
     return loss, aux, grads

@@ -86,6 +86,12 @@ class PoissonConfig:
     # VMEM kernels, ~2.4x faster at width 64 on TPU, BENCHMARKS.md; f32-
     # class accuracy, lap rel-err ~5e-6).  bf16 phases always use 'xla'.
     jet_impl: str = "xla"
+    # 'stream' feeds the fused kernels a precomputed (N, d+4) coefficient
+    # tensor from HBM; 'analytic' (PINN + FBC + solution='sin' +
+    # jet_impl='pallas-fused') reconstructs the coefficients IN-KERNEL from
+    # the X tile (kernels/fused_step.py fused_poisson_analytic) — the
+    # dominant remaining HBM stream of the fused step disappears
+    coef_mode: str = "stream"
     # fresh interior sample every epoch (the reference fixes the collocation
     # set once, Poisson_ND.py:193 — with a fixed set the DRM energy has a
     # biased Monte-Carlo minimiser and stalls; resampling removes the bias)
@@ -171,6 +177,17 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError(
             "jet_impl must be 'xla', 'pallas' or 'pallas-fused'"
+        )
+    if cfg.coef_mode not in ("stream", "analytic"):
+        raise ValueError("coef_mode must be 'stream' or 'analytic'")
+    if cfg.coef_mode == "analytic" and not (
+        cfg.method == "PINN" and cfg.jet_impl == "pallas-fused"
+        and cfg.bc_mode == "FBC" and cfg.solution == "sin"
+    ):
+        raise ValueError(
+            "coef_mode='analytic' = in-kernel coefficients for the box-FBC "
+            "prod-sin Poisson PINN — requires method='PINN', "
+            "jet_impl='pallas-fused', bc_mode='FBC', solution='sin'"
         )
     # Epoch-scan length cap on the pallas jet path.  The round-3 compile-time
     # ladder (artifacts/compile_cliff.json) found NO cliff on this step
@@ -359,12 +376,21 @@ def train_poisson_nd(cfg: PoissonConfig) -> Dict:
                         coef = coef_at(X_cur, rhs_f(X_cur, cfg.L, ks))
                     else:
                         X_cur, coef = X_in, coef_fixed
-                    fused = (fused_drm_energy if cfg.method == "DRM"
-                             else fused_linear_residual)
-                    pde, _, g_pde = fused(
-                        params, X_cur, coef, model.spec.activation,
-                        weight=1.0, dot_dtype=dot_dtype,
-                    )
+                    if cfg.coef_mode == "analytic":
+                        from ..kernels import fused_poisson_analytic
+
+                        pde, _, g_pde = fused_poisson_analytic(
+                            params, X_cur, model.spec.activation,
+                            L=cfg.L, ks=ks, weight=1.0,
+                            dot_dtype=dot_dtype,
+                        )
+                    else:
+                        fused = (fused_drm_energy if cfg.method == "DRM"
+                                 else fused_linear_residual)
+                        pde, _, g_pde = fused(
+                            params, X_cur, coef, model.spec.activation,
+                            weight=1.0, dot_dtype=dot_dtype,
+                        )
                     total = w["pde"] * pde
                     grads = jax.tree_util.tree_map(
                         lambda g: w["pde"] * g, g_pde

@@ -305,3 +305,47 @@ def test_poisson_fused_rb_and_resample():
     ))
     assert np.isfinite(out["rel_l2"])
     assert out["history"]["bc"].shape == (60,)
+
+
+@pytest.mark.parametrize("d,lane_pack", [(1, 1), (2, 2), (5, 1)])
+def test_fused_poisson_analytic_matches_streamed(d, lane_pack):
+    """In-kernel analytic coefficients == the streamed coefficient tensor
+    (box-FBC factor + prod-sin RHS), incl. padded tiles and lane packing."""
+    from nnpde_tpu.kernels import fused_poisson_analytic
+    from nnpde_tpu.pde import poisson as phys
+
+    L, ks = 2.0, list(range(1, d + 1))
+    model = SolutionModel(
+        NetSpec((d, 16, 16, 1), activation="sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=L))
+    params = model.init(jax.random.PRNGKey(d))
+    X = jax.random.uniform(jax.random.PRNGKey(d + 50), (300, d), maxval=L)
+    f = phys.rhs_f_for_u_sin(X, L, ks)
+    coef = residual_coefficients(model.factor.jet(X), a0=-1.0, rhs=-f)
+
+    la, _, ga = fused_poisson_analytic(
+        params, X, "sin", L=L, ks=ks, weight=3.0,
+        bwd_tile=128, lane_pack=lane_pack, interpret=True)
+    ls, _, gs = fused_linear_residual(
+        params, X, coef, "sin", weight=3.0,
+        bwd_tile=128, lane_pack=lane_pack, interpret=True)
+    np.testing.assert_allclose(float(la), float(ls), rtol=1e-6)
+    assert _tree_rel_err(ga, gs) <= 1e-5
+
+
+def test_poisson_trains_with_analytic_coefficients():
+    """coef_mode='analytic' trains identically to the streamed fused path
+    (same loss definition; only the coefficient transport differs)."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    base = dict(dim=2, epochs=80, n_interior=256, chunk=40,
+                width=16, depth=3, seed=0, jet_impl="pallas-fused")
+    a = train_poisson_nd(PoissonConfig(coef_mode="stream", **base))
+    b = train_poisson_nd(PoissonConfig(coef_mode="analytic", **base))
+    np.testing.assert_allclose(b["history"]["total"][0],
+                               a["history"]["total"][0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b["history"]["total"]),
+                               np.asarray(a["history"]["total"]), rtol=1e-3)
+    with pytest.raises(ValueError, match="analytic"):
+        train_poisson_nd(PoissonConfig(coef_mode="analytic", method="DRM",
+                                       dim=2))
