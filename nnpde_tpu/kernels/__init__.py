@@ -4,6 +4,7 @@ from .fused_step import (
     fused_drm_energy,
     fused_linear_residual,
     fused_poisson_analytic,
+    fused_residual_analytic,
     residual_coefficients,
 )
 from .fused_quotient import (

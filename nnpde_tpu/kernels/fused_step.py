@@ -687,6 +687,36 @@ def _fused_analytic_kernel(coef_builder, n_valid, d, K, T, activation,
                    dW_refs, dWlast_ref, db_refs)
 
 
+def fused_residual_analytic(
+    params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    X,
+    activation: str,
+    coef_fn,
+    *,
+    weight: float = 1.0,
+    **call_kw,
+):
+    """Generic fused residual step with IN-KERNEL coefficients.
+
+    ``coef_fn((T, d) tile) -> (c, [b_0..b_{d-1}], a, rhs)`` (each a (T, 1)
+    column) must be a pure jnp-traceable per-point function — it runs
+    INSIDE the kernel body, so only X itself crosses HBM per step.  Any
+    closed-form trial factor + physics qualifies (elementwise ops only —
+    the Mosaic op set); :func:`fused_poisson_analytic` is the canonical
+    instance.  Padded rows are masked by the static point count, so the
+    builder need not vanish at the pad value.  Returns as
+    :func:`fused_linear_residual` (aux without the trainable-E lane).
+    """
+    dWs, dbs, sums, N = _fused_call(
+        functools.partial(_fused_analytic_kernel, coef_fn, X.shape[0]),
+        activation, params, X, None, 0, coef_stream=False, **call_kw,
+    )
+    loss = weight * sums[0] / N
+    grads = _scaled_grads(params, dWs, dbs, sums, 2.0 * weight / N)
+    aux = {"sum_r2": sums[0], "n": N}
+    return loss, aux, grads
+
+
 def fused_poisson_analytic(
     params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     X,
@@ -703,15 +733,9 @@ def fused_poisson_analytic(
     box-FBC factor and the prod-sin manufactured RHS — the coefficient
     stream of :func:`fused_linear_residual` is reconstructed inside the
     kernel from the X tile (see :func:`_poisson_sin_coef_builder`), so
-    per step only X itself crosses HBM.  Same returns as
-    :func:`fused_linear_residual` (aux without the trainable-E lane).
+    per step only X itself crosses HBM.
     """
-    builder = _poisson_sin_coef_builder(L, ks, a0=-1.0)
-    dWs, dbs, sums, N = _fused_call(
-        functools.partial(_fused_analytic_kernel, builder, X.shape[0]),
-        activation, params, X, None, 0, coef_stream=False, **call_kw,
+    return fused_residual_analytic(
+        params, X, activation, _poisson_sin_coef_builder(L, ks, a0=-1.0),
+        weight=weight, **call_kw,
     )
-    loss = weight * sums[0] / N
-    grads = _scaled_grads(params, dWs, dbs, sums, 2.0 * weight / N)
-    aux = {"sum_r2": sums[0], "n": N}
-    return loss, aux, grads

@@ -349,3 +349,35 @@ def test_poisson_trains_with_analytic_coefficients():
     with pytest.raises(ValueError, match="analytic"):
         train_poisson_nd(PoissonConfig(coef_mode="analytic", method="DRM",
                                        dim=2))
+
+
+def test_fused_residual_analytic_generic_builder():
+    """The generic in-kernel coefficient entry accepts any traceable
+    per-point builder — here a Helmholtz operator through the box factor
+    (lap u + k^2 u, u = B*net), checked against the streamed path."""
+    from nnpde_tpu.kernels import fused_residual_analytic
+
+    d, L, k2 = 2, 2.0, 4.0
+    model = SolutionModel(
+        NetSpec((d, 16, 16, 1), activation="sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=L))
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (300, d), maxval=L)
+
+    def coef_fn(Xh):
+        cols = [Xh[:, i:i + 1] for i in range(d)]
+        gi = [x * (L - x) for x in cols]
+        B = gi[0] * gi[1]
+        dB = [(L - 2.0 * cols[0]) * gi[1], (L - 2.0 * cols[1]) * gi[0]]
+        lapB = -2.0 * gi[1] - 2.0 * gi[0]
+        # a0 = 1, c0 = k^2: a = B, b_i = 2 dB_i, c = lapB + k^2 B
+        return (lapB + k2 * B, [2.0 * dBi for dBi in dB], B,
+                jnp.zeros_like(B))
+
+    la, _, ga = fused_residual_analytic(
+        params, X, "sin", coef_fn, weight=2.0, bwd_tile=128, interpret=True)
+    coef = residual_coefficients(model.factor.jet(X), a0=1.0, c0=k2)
+    ls, _, gs = fused_linear_residual(
+        params, X, coef, "sin", weight=2.0, bwd_tile=128, interpret=True)
+    np.testing.assert_allclose(float(la), float(ls), rtol=1e-6)
+    assert _tree_rel_err(ga, gs) <= 1e-5
