@@ -56,7 +56,6 @@ gradient ``G_j = B*g_j + dB_j*net``.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
