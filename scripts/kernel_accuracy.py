@@ -110,11 +110,142 @@ def run_fused(width: int, d: int = 2, depth: int = 5, n: int = 8192):
     return rows
 
 
+def run_quotient(width: int, d: int = 2, depth: int = 5, n: int = 8192):
+    """Round-4 kernels vs XLA autodiff oracles on TPU: the two-pass
+    Rayleigh and WAN u/v custom VJPs, and the analytic-coefficient
+    one-pass kernel (grad-space A/B, same 1e-5-class bar)."""
+    from nnpde_tpu.kernels import (
+        fused_poisson_analytic,
+        linear_functional_coefficients,
+        make_fused_rayleigh,
+        make_fused_wan_u,
+        make_fused_wan_v,
+        quotient_coefficients,
+    )
+    from nnpde_tpu.models import SolutionModel, factor_for_technique
+
+    L = 2.0
+    model = SolutionModel(
+        NetSpec((d,) + (width,) * (depth - 1) + (1,), activation="sin"),
+        factor_for_technique("FBC", dim=d, kind="box", L=L),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (n, d), maxval=L)
+    V = 0.3 * jnp.sum(X ** 2, axis=1)
+    phi = jnp.sin(jnp.pi * X[:, 0] / L) * jnp.sin(jnp.pi * X[:, 1] / L)
+    gphi = jax.vmap(jax.grad(lambda x: jnp.sin(jnp.pi * x[0] / L)
+                             * jnp.sin(jnp.pi * x[1] / L)))(X)
+    pn = jnp.mean(phi ** 2)
+    Bj = model.factor.jet(X)
+
+    def full_jet(p):
+        jet = model.fields(p, X, impl="xla")
+        return jet.value, jet.grad
+
+    def grad_rel(gf, go):
+        num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+            jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(go)))
+        den = sum(float(jnp.sum(b ** 2))
+                  for b in jax.tree_util.tree_leaves(go))
+        return (num / max(den, 1e-30)) ** 0.5
+
+    rows = []
+
+    def row_of(name, fn, oracle):
+        try:
+            with jax.default_matmul_precision("highest"):
+                lf, gf = jax.jit(fn)(params)
+                lo, go = jax.jit(jax.value_and_grad(oracle))(params)
+            r = {"width": width, "variant": name,
+                 "loss_rel": abs(float(lf) - float(lo))
+                 / max(abs(float(lo)), 1e-30),
+                 "grad_rel": grad_rel(gf, go)}
+        except Exception as e:
+            r = {"width": width, "variant": name, "error": str(e)[:200]}
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    # Rayleigh quotient (with potential)
+    ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8)
+    coef_q = quotient_coefficients(Bj, V=V)
+
+    def ray_fn(p):
+        def obj(p):
+            total, _ = ray(p, X, coef_q)
+            return total
+        return jax.value_and_grad(obj)(p)
+
+    def ray_oracle(p):
+        u, gu = full_jet(p)
+        num = jnp.mean(0.5 * jnp.sum(gu ** 2, axis=1) + V * u ** 2)
+        return 3.0 * num / (jnp.mean(u ** 2) + 1e-8)
+
+    row_of("rayleigh_2pass", ray_fn, ray_oracle)
+
+    # WAN u objective (fixed E; the dE lane is oracle-tested on CPU)
+    wu = make_fused_wan_u("sin", eps=1e-8, vol=L * L, w_pde=10.0,
+                          w_norm=1000.0)
+    base = linear_functional_coefficients(
+        Bj, c0=V * phi, b0=0.5 * gphi, e1=Bj.value, e2=Bj.value * phi)
+    E0 = jnp.asarray(1.7)
+
+    def wu_fn(p):
+        def obj(p):
+            total, _ = wu(p, E0, X, base, pn)
+            return total
+        return jax.value_and_grad(obj)(p)
+
+    def wu_oracle(p):
+        u, gu = full_jet(p)
+        wr = jnp.mean(0.5 * jnp.sum(gu * gphi, axis=1) + (V - E0) * u * phi)
+        return (10.0 * wr ** 2 / (pn + 1e-8)
+                + 1000.0 * (L * L * jnp.mean(u ** 2) - 1.0) ** 2)
+
+    row_of("wan_u_2pass", wu_fn, wu_oracle)
+
+    # WAN v objective (-log)
+    wv = make_fused_wan_v("sin", eps=1e-8, log_eps=1e-8)
+    u_dat = jnp.cos(X[:, 0])
+    gu_dat = jnp.stack([-jnp.sin(X[:, 0]), jnp.zeros_like(X[:, 0])], -1)
+    coef_v = linear_functional_coefficients(
+        Bj, c0=(V - 1.7) * u_dat, b0=0.5 * gu_dat, e1=Bj.value)
+
+    def wv_fn(p):
+        def obj(p):
+            total, _ = wv(p, X, coef_v)
+            return total
+        return jax.value_and_grad(obj)(p)
+
+    def wv_oracle(p):
+        v, gv = full_jet(p)
+        wr = jnp.mean(0.5 * jnp.sum(gu_dat * gv, axis=1)
+                      + (V - 1.7) * u_dat * v)
+        return -jnp.log(wr ** 2 / (jnp.mean(v ** 2) + 1e-8) + 1e-8)
+
+    row_of("wan_v_2pass", wv_fn, wv_oracle)
+
+    # analytic-coefficient one-pass kernel
+    def ana_fn(p):
+        loss, _, g = fused_poisson_analytic(p, X, "sin", L=L, ks=[1, 1])
+        return loss, g
+
+    from nnpde_tpu.pde import poisson as phys
+
+    f_sin = phys.rhs_f_for_u_sin(X, L, [1, 1])
+
+    def ana_oracle(p):
+        jet = model.fields(p, X, impl="xla")
+        return jnp.mean((-jet.lap - f_sin) ** 2)
+
+    row_of("fused_analytic", ana_fn, ana_oracle)
+    return rows
+
+
 if __name__ == "__main__":
     widths = [int(a) for a in sys.argv[1:]] or [64, 128]
     all_rows = json.load(open(OUT)) if os.path.exists(OUT) else []
     for w in widths:
-        new = run(w) + run_fused(w)
+        new = run(w) + run_fused(w) + run_quotient(w)
         keys = {(r["width"], r["variant"]) for r in new}
         all_rows = [r for r in all_rows
                     if (r.get("width"), r.get("variant")) not in keys]
