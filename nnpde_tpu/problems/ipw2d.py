@@ -254,14 +254,21 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         else:
             def fwd(Xa):
                 return model.apply_batch(params, Xa)
+        # one batched forward over the (up to 3) reflected point sets —
+        # one big MXU matmul instead of three grid-sized dispatches
+        refl = ([Xs] if nx == ny else []) + [Xpx, Xpy]
+        u_refl = fwd(jnp.concatenate(refl, axis=0))
+        parts = jnp.split(u_refl, len(refl))
+        u_sym = parts[0] if nx == ny else None
+        u_px, u_py = parts[-2], parts[-1]
         return {
             "data": data_mse(model.apply_batch(params, X_data), u_data),
-            "symmetry": reflection_mse(u, fwd(Xs))
+            "symmetry": reflection_mse(u, u_sym)
             if nx == ny
             else jnp.asarray(0.0),
             "parity": (
-                reflection_mse(u, fwd(Xpx), sign_x)
-                + reflection_mse(u, fwd(Xpy), sign_y)
+                reflection_mse(u, u_px, sign_x)
+                + reflection_mse(u, u_py, sign_y)
             ),
             "orth": orthogonal_projection(u, low, L * L)
             if w["orth"] > 0

@@ -186,14 +186,21 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
     X_py = jnp.stack([X[:, 0], -X[:, 1]], 1)
 
     def shared_terms(net_p, u):
+        # one batched forward over the reflected point sets — one big MXU
+        # matmul instead of three grid-sized dispatches
+        refl = ([X_swap] if nx == ny else []) + [X_px, X_py]
+        u_refl = u_model.apply_batch(net_p, jnp.concatenate(refl, axis=0))
+        parts = jnp.split(u_refl, len(refl))
+        u_sym = parts[0] if nx == ny else None
+        u_px, u_py = parts[-2], parts[-1]
         terms = {
             "data": data_mse(u_model.apply_batch(net_p, X_data), u_data),
-            "symmetry": reflection_mse(u, u_model.apply_batch(net_p, X_swap))
+            "symmetry": reflection_mse(u, u_sym)
             if nx == ny
             else jnp.asarray(0.0),
             "parity": (
-                reflection_mse(u, u_model.apply_batch(net_p, X_px), sign_x)
-                + reflection_mse(u, u_model.apply_batch(net_p, X_py), sign_y)
+                reflection_mse(u, u_px, sign_x)
+                + reflection_mse(u, u_py, sign_y)
             ),
             "orth": orthogonal_projection(u, lower, 4.0 * L * L)
             if w["orth"] > 0
