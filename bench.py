@@ -279,12 +279,15 @@ if __name__ == "__main__":
                          "mesh instead of the real backend")
     ap.add_argument("--kernel-mode",
                     choices=["exact", "bf16", "fused", "fused-analytic"],
-                    default="exact",
+                    default="fused",
                     help="bf16 = the 1-pass-bf16 jet kernel (the "
                          "'hybrid-kernel' bulk phase) as a second bench "
-                         "line; fused = one-pass fused loss+grad kernel "
-                         "(kernels/fused_step.py); default exact bf16x3 "
-                         "(f32-class)")
+                         "line; exact = the two-kernel bf16x3 path; "
+                         "default fused = one-pass fused loss+grad kernel "
+                         "(kernels/fused_step.py) — measured 52.3M vs "
+                         "38.3M exact on v5e (2026-08-18), grads "
+                         "oracle-equal, so the faster path is the "
+                         "headline")
     a = ap.parse_args()
     main(all_devices=a.all_devices, batch=a.batch, steps=a.steps,
          cpu_mesh=a.cpu_mesh, kernel_mode=a.kernel_mode)
