@@ -56,6 +56,27 @@ def pallas_chunk_cap() -> int:
     return cap if cap > 0 else 1 << 30
 
 
+def scan_chunk_cap() -> int:
+    """Global epoch-scan dispatch-length cap (``NNPDE_SCAN_CHUNK_CAP``).
+
+    Applied by the trainer's ``_run_chunks`` on EVERY path (xla and
+    pallas), bounding how many epochs one device dispatch executes.
+    Motivation (round 4): after the round-3/4 backend outage the remote
+    TPU worker began killing long-running dispatches — a grid400 WAN
+    extragradient step scanned 500 epochs/dispatch (~3 min on-device)
+    dies with ``UNAVAILABLE: TPU device error`` on the first
+    ``block_until_ready``, reproduced with round-3 code (so not a code
+    regression), while the identical program at 100 epochs/dispatch
+    completes (``/tmp/repro_c100.log``, 348 s).  Chunk boundaries are
+    numerics-free: per-epoch PRNG keys are ``fold_in(key, epoch)`` so
+    the trajectory is bitwise independent of chunking
+    (``tests/test_resume.py``).  Default 0 = uncapped; set e.g.
+    ``NNPDE_SCAN_CHUNK_CAP=100`` when the worker is killing dispatches.
+    """
+    cap = int(os.environ.get("NNPDE_SCAN_CHUNK_CAP", "0"))
+    return cap if cap > 0 else 1 << 30
+
+
 def enable_debug_nans(on: bool = True) -> None:
     """Opt-in NaN trapping (the reference's nearest analogue is scattered
     eps/nan_to_num guards — SURVEY.md §5 'race detection / sanitizers')."""

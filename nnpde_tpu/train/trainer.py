@@ -69,6 +69,9 @@ def _run_chunks(scan_chunk, carry, *, epochs, chunk, start_epoch, key,
     dispatch, history collection, progress callbacks, wall-clock timing."""
     import time as _time
 
+    from .. import runtime
+
+    chunk = min(chunk, runtime.scan_chunk_cap())
     parts = []
     t0 = _time.time()
     for start, n in _chunks(epochs, chunk):

@@ -38,6 +38,11 @@ def run(impl: str, grid: int, e1: int, e2: int, chunk: int):
             jet_impl=impl, chunk=chunk, seed=0,
         )
 
+    # Warmup at one full chunk: populates the (in-memory + persistent)
+    # compilation caches so BOTH timed windows below are compile-free.
+    # Without this the first window pays compile and the second hits the
+    # cache, making t2 < t1 ("non-separable") — observed on the XLA rows.
+    train_ipw_2d(cfg(chunk))
     t0 = time.time()
     r1 = train_ipw_2d(cfg(e1))
     t1 = time.time() - t0
