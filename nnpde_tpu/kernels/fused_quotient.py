@@ -61,7 +61,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .fwdlap_pallas import _fwd_recompute, _reverse_sweep
+from .fwdlap_pallas import _dot_mode, _fwd_recompute, _reverse_sweep
 from .fused_step import _fused_call
 
 
@@ -127,12 +127,11 @@ def _linear_sums_kernel(no_lap, d, K, T, activation, concat_streams,
         sums_ref[...] = jnp.zeros_like(sums_ref)
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     _, _, final = _fwd_recompute(
         d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
-        with_lap=not no_lap,
+        with_lap=not no_lap, dot3=dot3,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -219,12 +218,11 @@ def _linear_seeded_kernel(no_lap, d, K, T, activation, concat_streams,
     s_l = scal[:, 2:3]
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
         d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
-        with_lap=not no_lap,
+        with_lap=not no_lap, dot3=dot3,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -283,14 +281,13 @@ def _quad_sums_kernel(d, K, T, activation, concat_streams, dot_dtype,
         sums_ref[...] = jnp.zeros_like(sums_ref)
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     # quadratic energies touch value+grad only — never propagate the lap
     # stream (d+1 streams instead of d+2)
     _, _, final = _fwd_recompute(
         d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
-        with_lap=False,
+        with_lap=False, dot3=dot3,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -360,12 +357,11 @@ def _quad_seeded_kernel(d, K, T, activation, concat_streams, dot_dtype,
     s_q = scal[:, 1:2]
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
         d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
-        with_lap=False,
+        with_lap=False, dot3=dot3,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -553,6 +549,11 @@ def make_fused_rayleigh(activation: str, *, weight: float = 1.0,
     KH tracks as E-hat, KH_1D.py:393-399) and the raw means.  Gradients
     flow to ``params`` only.
     """
+    # Default the in-kernel dots to bf16x3: the quotient backward seeds
+    # every gradient from GLOBAL sums, so single-pass DEFAULT-dot noise in
+    # those sums contaminates the whole gradient (measured on TPU,
+    # artifacts/kernel_accuracy.json: w128 grad rel-err 0.10 -> 1.3e-3).
+    call_kw.setdefault("dot_dtype", "bf16x3")
     @jax.custom_vjp
     def loss(params, X, coef):
         out, _ = _fwd(params, X, coef)
@@ -591,6 +592,11 @@ def make_fused_quad_mean(activation: str, *, weight: float = 1.0,
     ``weight = 2*reg`` — without materialising the jet.  Same two-pass
     machinery as :func:`make_fused_rayleigh` with the denominator removed.
     """
+    # Default the in-kernel dots to bf16x3: the quotient backward seeds
+    # every gradient from GLOBAL sums, so single-pass DEFAULT-dot noise in
+    # those sums contaminates the whole gradient (measured on TPU,
+    # artifacts/kernel_accuracy.json: w128 grad rel-err 0.10 -> 1.3e-3).
+    call_kw.setdefault("dot_dtype", "bf16x3")
     @jax.custom_vjp
     def loss(params, X, coef):
         out, _ = _fwd(params, X, coef)
@@ -647,6 +653,11 @@ def make_fused_wan_u(activation: str, *, convention: str = "wr2_over_norm",
     Gradients flow to ``params`` and ``E`` only (zero cotangents for X,
     base; exact scalar cotangent for phi_norm).
     """
+    # Default the in-kernel dots to bf16x3: the quotient backward seeds
+    # every gradient from GLOBAL sums, so single-pass DEFAULT-dot noise in
+    # those sums contaminates the whole gradient (measured on TPU,
+    # artifacts/kernel_accuracy.json: w128 grad rel-err 0.10 -> 1.3e-3).
+    call_kw.setdefault("dot_dtype", "bf16x3")
     @jax.custom_vjp
     def loss(params, E, X, base, phi_norm):
         out, _ = _fwd(params, E, X, base, phi_norm)
@@ -706,6 +717,11 @@ def make_fused_wan_v(activation: str, *, convention: str = "wr2_over_norm",
     if objective not in ("neg_log", "neg"):
         raise ValueError(f"Unknown critic objective {objective!r}")
 
+    # Default the in-kernel dots to bf16x3: the quotient backward seeds
+    # every gradient from GLOBAL sums, so single-pass DEFAULT-dot noise in
+    # those sums contaminates the whole gradient (measured on TPU,
+    # artifacts/kernel_accuracy.json: w128 grad rel-err 0.10 -> 1.3e-3).
+    call_kw.setdefault("dot_dtype", "bf16x3")
     @jax.custom_vjp
     def loss_v(params, X, coef):
         out, _ = _fwd(params, X, coef)

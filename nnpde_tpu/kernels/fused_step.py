@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 
 from .fwdlap_pallas import (
     _block2,
+    _dot_mode,
     _fwd_recompute,
     _pad,
     _reverse_sweep,
@@ -92,11 +93,10 @@ def _fused_kernel(d, K, T, activation, concat_streams, dot_dtype, packed,
             r[...] = jnp.zeros_like(r)
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed, dot3=dot3
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]                               # (T, dcoef)
@@ -201,14 +201,13 @@ def _fused_drm_kernel(d, K, T, activation, concat_streams, dot_dtype,
             r[...] = jnp.zeros_like(r)
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     # the energy touches value+grad only — skip the lap stream entirely
     # (d+1 streams instead of d+2 in both the recompute and the sweep)
     Ws_c, saved, final = _fwd_recompute(
         d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed,
-        with_lap=False,
+        with_lap=False, dot3=dot3,
     )
     _, _, _, _, A, Jmid, lmid = final
     coef = coef_ref[0]
@@ -623,11 +622,10 @@ def _fused_analytic_kernel(coef_builder, n_valid, d, K, T, activation,
             r[...] = jnp.zeros_like(r)
 
     prec = jax.lax.Precision.DEFAULT
-    cast = ((lambda x: x.astype(jnp.bfloat16))
-            if dot_dtype == "bfloat16" else (lambda x: x))
+    cast, dot3 = _dot_mode(dot_dtype)
     X = X_ref[0]
     Ws_c, saved, final = _fwd_recompute(
-        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed
+        d, K, T, activation, concat_streams, cast, prec, X, Ws, bs, packed, dot3=dot3
     )
     _, _, _, _, A, Jmid, lmid = final
 

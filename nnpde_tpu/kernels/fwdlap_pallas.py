@@ -83,6 +83,18 @@ def _dot(a, b, precision=jax.lax.Precision.HIGHEST):
     )
 
 
+def _dot_mode(dot_dtype):
+    """(cast, dot3) for a fused-kernel ``dot_dtype`` option: 'float32' =
+    single-pass DEFAULT dots on f32 inputs, 'bfloat16' = cast inputs to
+    bf16 (cheapest), 'bf16x3' = three-pass splitting (f32-class, used by
+    the quotient kernels whose global sums seed every gradient)."""
+    if dot_dtype == "bfloat16":
+        return (lambda x: x.astype(jnp.bfloat16)), False
+    if dot_dtype not in ("float32", "bf16x3"):
+        raise ValueError(f"Unknown dot_dtype {dot_dtype!r}")
+    return (lambda x: x), dot_dtype == "bf16x3"
+
+
 def _dot3(a, b):
     """bf16x3 matmul (~f32-accurate, 3 single-pass MXU dots).
 
@@ -365,7 +377,7 @@ def _nl_bwd_pack(pack, Js, l, q, dA, dJmid, dlmid):
 
 
 def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
-                   X, Ws, bs, packed, with_lap=True):
+                   X, Ws, bs, packed, with_lap=True, dot3=False):
     """Shared VMEM forward recompute with flat 2D (T, w) streams.
 
     Used by both the recompute backward (:func:`_backward_kernel`) and the
@@ -379,10 +391,21 @@ def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
     kernels whose functionals touch value+grad only (DRM energies, WAN
     weak forms with a == 0): ~1/(d+2) less VMEM traffic and dot work.
     The l/q/lmid slots in saved/final are None in this mode.
+
+    ``dot3=True`` runs the recompute dots at bf16x3 (:func:`_dot3`,
+    f32-class) instead of single-pass DEFAULT — the quotient kernels use
+    this so the GLOBAL sums (the weak residual wr) are as accurate as the
+    jet-forward kernel's; the quotient backward multiplies every gradient
+    by wr, so wr's relative error contaminates the whole gradient
+    (measured on TPU: wan_u grad rel-err 0.10 at DEFAULT -> the bf16x3
+    pass restores the 1e-3-class bar of the linear kernels).  Requires
+    ``cast`` = identity (f32 inputs).
     """
     w0 = Ws[0]
     width = w0.shape[1]
     Ws_c = [cast(W) for W in Ws]
+    dot = (lambda a, b: _dot3(a, b)) if dot3 else (
+        lambda a, b: _dot(cast(a), b, prec))
 
     def fwd_linear(k, A, Jmid, lmid):
         """One ((d+2)T, w) dot or d+2 separate dots."""
@@ -390,17 +413,17 @@ def _fwd_recompute(d, K, T, activation, concat_streams, cast, prec,
         if concat_streams:
             S = jnp.concatenate(
                 [A] + Jmid + ([lmid] if with_lap else []), axis=0)
-            O = _dot(cast(S), W, prec)
+            O = dot(S, W)
             v = O[:T] + bs[k]
             Js = [O[(1 + i) * T:(2 + i) * T] for i in range(d)]
             return v, Js, (O[(d + 1) * T:] if with_lap else None)
-        v = _dot(cast(A), W, prec) + bs[k]
-        Js = [_dot(cast(Jm), W, prec) for Jm in Jmid]
-        return v, Js, (_dot(cast(lmid), W, prec) if with_lap else None)
+        v = dot(A, W) + bs[k]
+        Js = [dot(Jm, W) for Jm in Jmid]
+        return v, Js, (dot(lmid, W) if with_lap else None)
 
     # ---- forward recompute; per-stage packs and mid streams stay in VMEM
     # (the reverse sweep reuses them — no second nonlinearity evaluation)
-    v = _dot(cast(X), cast(w0), prec) + bs[0]
+    v = dot(X, cast(w0)) + bs[0]
     if packed:
         # blocked W0 rows are [W0_i | 0] (row i) and [0 | W0_i] (row d+i);
         # their sum is the per-half jacobian seed [W0_i | W0_i]

@@ -89,7 +89,35 @@ def run_fused(width: int, d: int = 2, depth: int = 5, n: int = 8192):
     with jax.default_matmul_precision("highest"):
         lo, go = jax.jit(jax.value_and_grad(oracle))(params)
     rows = []
+
+    # the incumbent baseline: parameter grads through the TWO-KERNEL
+    # pallas path (jet fwd bf16x3 + recompute backward at DEFAULT dots) —
+    # the bar the fused kernels must match, NOT the f32 oracle itself
+    # (the recompute backward has always run single-pass DEFAULT dots;
+    # training accuracy is f32-class end-to-end, BENCHMARKS.md round 2)
+    def two_kernel(p):
+        jet = model.fields(p, X, impl="pallas")
+        return jnp.mean((-jet.lap - f) ** 2)
+
+    try:
+        with jax.default_matmul_precision("highest"):
+            lt, gt = jax.jit(jax.value_and_grad(two_kernel))(params)
+        num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+            jax.tree_util.tree_leaves(gt), jax.tree_util.tree_leaves(go)))
+        den = sum(float(jnp.sum(b ** 2))
+                  for b in jax.tree_util.tree_leaves(go))
+        row = {"width": width, "variant": "two_kernel_backward",
+               "loss_rel": abs(float(lt) - float(lo))
+               / max(abs(float(lo)), 1e-30),
+               "grad_rel": (num / max(den, 1e-30)) ** 0.5}
+    except Exception as e:
+        row = {"width": width, "variant": "two_kernel_backward",
+               "error": str(e)[:200]}
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
     for name, opts in [("fused", {}),
+                       ("fused_bf16x3", {"dot_dtype": "bf16x3"}),
                        ("fused_bf16dots", {"dot_dtype": "bfloat16"})]:
         try:
             with jax.default_matmul_precision("highest"):
@@ -165,64 +193,71 @@ def run_quotient(width: int, d: int = 2, depth: int = 5, n: int = 8192):
         rows.append(r)
         print(json.dumps(r), flush=True)
 
-    # Rayleigh quotient (with potential)
-    ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8)
-    coef_q = quotient_coefficients(Bj, V=V)
+    # Rayleigh quotient (with potential).  The quotient kernels default
+    # to bf16x3 recompute dots: the quotient backward multiplies every
+    # gradient by the GLOBAL sums (wr, masses), so single-pass
+    # DEFAULT-dot noise in those sums contaminates the whole gradient
+    # (measured: w128 wan_u grad rel-err 0.10 at float32/DEFAULT).  The
+    # _f32dots variants keep that failure mode on the gate's radar.
+    for tag, kw in [("", {}), ("_f32dots", {"dot_dtype": "float32"})]:
+        ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8, **kw)
+        coef_q = quotient_coefficients(Bj, V=V)
 
-    def ray_fn(p):
-        def obj(p):
-            total, _ = ray(p, X, coef_q)
-            return total
-        return jax.value_and_grad(obj)(p)
+        def ray_fn(p, ray=ray, coef_q=coef_q):
+            def obj(p):
+                total, _ = ray(p, X, coef_q)
+                return total
+            return jax.value_and_grad(obj)(p)
 
-    def ray_oracle(p):
-        u, gu = full_jet(p)
-        num = jnp.mean(0.5 * jnp.sum(gu ** 2, axis=1) + V * u ** 2)
-        return 3.0 * num / (jnp.mean(u ** 2) + 1e-8)
+        def ray_oracle(p):
+            u, gu = full_jet(p)
+            num = jnp.mean(0.5 * jnp.sum(gu ** 2, axis=1) + V * u ** 2)
+            return 3.0 * num / (jnp.mean(u ** 2) + 1e-8)
 
-    row_of("rayleigh_2pass", ray_fn, ray_oracle)
+        row_of("rayleigh_2pass" + tag, ray_fn, ray_oracle)
 
-    # WAN u objective (fixed E; the dE lane is oracle-tested on CPU)
-    wu = make_fused_wan_u("sin", eps=1e-8, vol=L * L, w_pde=10.0,
-                          w_norm=1000.0)
-    base = linear_functional_coefficients(
-        Bj, c0=V * phi, b0=0.5 * gphi, e1=Bj.value, e2=Bj.value * phi)
-    E0 = jnp.asarray(1.7)
+        # WAN u objective (fixed E; the dE lane is oracle-tested on CPU)
+        wu = make_fused_wan_u("sin", eps=1e-8, vol=L * L, w_pde=10.0,
+                              w_norm=1000.0, **kw)
+        base = linear_functional_coefficients(
+            Bj, c0=V * phi, b0=0.5 * gphi, e1=Bj.value, e2=Bj.value * phi)
+        E0 = jnp.asarray(1.7)
 
-    def wu_fn(p):
-        def obj(p):
-            total, _ = wu(p, E0, X, base, pn)
-            return total
-        return jax.value_and_grad(obj)(p)
+        def wu_fn(p, wu=wu, base=base, E0=E0):
+            def obj(p):
+                total, _ = wu(p, E0, X, base, pn)
+                return total
+            return jax.value_and_grad(obj)(p)
 
-    def wu_oracle(p):
-        u, gu = full_jet(p)
-        wr = jnp.mean(0.5 * jnp.sum(gu * gphi, axis=1) + (V - E0) * u * phi)
-        return (10.0 * wr ** 2 / (pn + 1e-8)
-                + 1000.0 * (L * L * jnp.mean(u ** 2) - 1.0) ** 2)
+        def wu_oracle(p):
+            u, gu = full_jet(p)
+            wr = jnp.mean(0.5 * jnp.sum(gu * gphi, axis=1)
+                          + (V - E0) * u * phi)
+            return (10.0 * wr ** 2 / (pn + 1e-8)
+                    + 1000.0 * (L * L * jnp.mean(u ** 2) - 1.0) ** 2)
 
-    row_of("wan_u_2pass", wu_fn, wu_oracle)
+        row_of("wan_u_2pass" + tag, wu_fn, wu_oracle)
 
-    # WAN v objective (-log)
-    wv = make_fused_wan_v("sin", eps=1e-8, log_eps=1e-8)
-    u_dat = jnp.cos(X[:, 0])
-    gu_dat = jnp.stack([-jnp.sin(X[:, 0]), jnp.zeros_like(X[:, 0])], -1)
-    coef_v = linear_functional_coefficients(
-        Bj, c0=(V - 1.7) * u_dat, b0=0.5 * gu_dat, e1=Bj.value)
+        # WAN v objective (-log)
+        wv = make_fused_wan_v("sin", eps=1e-8, log_eps=1e-8, **kw)
+        u_dat = jnp.cos(X[:, 0])
+        gu_dat = jnp.stack([-jnp.sin(X[:, 0]), jnp.zeros_like(X[:, 0])], -1)
+        coef_v = linear_functional_coefficients(
+            Bj, c0=(V - 1.7) * u_dat, b0=0.5 * gu_dat, e1=Bj.value)
 
-    def wv_fn(p):
-        def obj(p):
-            total, _ = wv(p, X, coef_v)
-            return total
-        return jax.value_and_grad(obj)(p)
+        def wv_fn(p, wv=wv, coef_v=coef_v):
+            def obj(p):
+                total, _ = wv(p, X, coef_v)
+                return total
+            return jax.value_and_grad(obj)(p)
 
-    def wv_oracle(p):
-        v, gv = full_jet(p)
-        wr = jnp.mean(0.5 * jnp.sum(gu_dat * gv, axis=1)
-                      + (V - 1.7) * u_dat * v)
-        return -jnp.log(wr ** 2 / (jnp.mean(v ** 2) + 1e-8) + 1e-8)
+        def wv_oracle(p, u_dat=u_dat, gu_dat=gu_dat):
+            v, gv = full_jet(p)
+            wr = jnp.mean(0.5 * jnp.sum(gu_dat * gv, axis=1)
+                          + (V - 1.7) * u_dat * v)
+            return -jnp.log(wr ** 2 / (jnp.mean(v ** 2) + 1e-8) + 1e-8)
 
-    row_of("wan_v_2pass", wv_fn, wv_oracle)
+        row_of("wan_v_2pass" + tag, wv_fn, wv_oracle)
 
     # analytic-coefficient one-pass kernel
     def ana_fn(p):
