@@ -19,3 +19,10 @@ from .fused_quotient import (
     make_fused_wan_v,
     quotient_coefficients,
 )
+from .fused_multibump import (
+    fused_multi_seeded_grads,
+    fused_multi_sums,
+    make_fused_wan_multi_u,
+    make_fused_wan_multi_v,
+    pack_multibump_coefficients,
+)

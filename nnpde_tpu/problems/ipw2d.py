@@ -147,13 +147,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
              else cfg.chunk)
     if cfg.jet_impl not in ("xla", "pallas", "pallas-fused"):
         raise ValueError("jet_impl must be 'xla', 'pallas' or 'pallas-fused'")
-    if (cfg.jet_impl == "pallas-fused" and cfg.method == "WAN"
-            and cfg.n_test_grid > 1):
-        raise ValueError(
-            "jet_impl='pallas-fused' covers the single-test-function WAN "
-            "(kernels/fused_quotient.py); multi-bump WAN needs per-bump "
-            "sums — use jet_impl='pallas'"
-        )
+    # multi-bump WAN (n_test_grid > 1) rides the K-lane fused kernels
+    # (kernels/fused_multibump.py) under jet_impl='pallas-fused'
     if cfg.technique not in ("FBC", "FN", "OG"):
         raise ValueError(f"Unknown technique: {cfg.technique}")
     nx, ny, L = cfg.nx, cfg.ny, cfg.L
@@ -405,6 +400,21 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 Xw, wv_c, dwv_c = X, wv_const, dwv_const
             return Xw, wv_c, dwv_c
 
+        def pick_points_multi(key):
+            """Multi-bump variant: stacked (K, N) / (K, N, 2) windows."""
+            from ..ops import bump_w_multi as _bwm
+
+            if cfg.grid_jitter and key is not None:
+                s = jax.random.uniform(key, (2,), X.dtype)
+                Xw = X_lat + s[None, :] * h_cell
+                wv_m, dwv_m = _bwm(Xw, centers, hw)
+            elif cfg.wan_resample and key is not None:
+                Xw = jax.random.uniform(key, X.shape, X.dtype, 0.0, L)
+                wv_m, dwv_m = _bwm(Xw, centers, hw)
+            else:
+                Xw, wv_m, dwv_m = X, wv_multi, dwv_multi
+            return Xw, wv_m, dwv_m
+
         def wan_pde(u_params, v_params, key=None, dtype="float32"):
             if cfg.grid_jitter and key is not None:
                 s = jax.random.uniform(key, (2,), X.dtype)
@@ -458,16 +468,25 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         # with a FIXED quadrature grid, the critic coefficient stream is
         # frozen across the inner critic steps — build once per epoch
         fused_fixed = fused_wan and not (cfg.grid_jitter or cfg.wan_resample)
+        multibump = cfg.n_test_grid > 1
         if fused_wan:
-            from ._fused_wan import make_fused_wan_pair
+            from ._fused_wan import (
+                make_fused_wan_multi_pair, make_fused_wan_pair,
+            )
 
-            pair = make_fused_wan_pair(model, v_model, w_pde=w["pde"])
+            if multibump:
+                pair = make_fused_wan_multi_pair(
+                    model, v_model, int(centers.shape[0]), w_pde=w["pde"])
+            else:
+                pair = make_fused_wan_pair(model, v_model, w_pde=w["pde"])
             u_pde_fn = pair.u_pde_fn
             E_fix = jnp.asarray(E, jnp.float32)
+            pick = pick_points_multi if multibump else pick_points
+            wv_fix, dwv_fix = ((wv_multi, dwv_multi) if multibump
+                               else (wv_const, dwv_const))
         if fused_fixed:
             def v_context_fn(u_params, key):
-                return pair.v_coef_fn(u_params, E_fix, X,
-                                      wv_const, dwv_const)
+                return pair.v_coef_fn(u_params, E_fix, X, wv_fix, dwv_fix)
         else:
             v_context_fn = None
 
@@ -480,13 +499,13 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                     if fused_fixed:
                         lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
                         return lv
-                    Xw, wv_c, dwv_c = pick_points(key)
+                    Xw, wv_c, dwv_c = pick(key)
                     lv, _ = pair.v_loss_fn(v_params, ctx, E_fix, Xw,
                                            wv_c, dwv_c)
                     return lv
 
                 def u_loss_fn(u_params, v_params, key):
-                    Xw, wv_c, dwv_c = pick_points(key)
+                    Xw, wv_c, dwv_c = pick(key)
                     pde_w, aux = u_pde_fn(u_params, E_fix, v_params, Xw,
                                           wv_c, dwv_c)
                     # u forward for the quadrature terms (same rules as
