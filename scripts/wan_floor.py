@@ -216,6 +216,14 @@ VARIANTS = {
         "jet_impl": "pallas-fused",
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # short diagnostic for the 2026-08-18 TPU-worker crash of the full
+    # fused run (kernel fault ~3 min in): same program shape, 1500 epochs
+    "winner_grid400_cos45k_fused_short": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 1500,
+        "jet_impl": "pallas-fused",
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-jitter: per-epoch deterministic whole-grid sub-cell shift
     # (Cranley–Patterson on the tensor grid): unbiased quadrature without
     # the per-point stochastic noise that made wan_resample fail (3.7e-2).
