@@ -373,7 +373,11 @@ def test_fused_rayleigh_step_matches_single_device(setup):
     V = 0.5 * jnp.sum(X ** 2, axis=1)
     coef = quotient_coefficients(model.factor.jet(X), V=V)
 
-    ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8, bwd_tile=64)
+    # dot_dtype='float32': this test asserts SHARDING semantics (per-shard
+    # psum == unsharded), so exclude the bf16x3 default's split-dot
+    # reassociation noise, which the quotient seeds amplify by 1/den^2
+    ray = make_fused_rayleigh("sin", weight=3.0, den_eps=1e-8, bwd_tile=64,
+                              dot_dtype="float32")
 
     def obj(p):
         return ray(p, X, coef)
@@ -382,7 +386,8 @@ def test_fused_rayleigh_step_matches_single_device(setup):
 
     mesh = make_mesh()
     step = jax.jit(fused_rayleigh_step(mesh, "sin", weight=3.0,
-                                       den_eps=1e-8, bwd_tile=64))
+                                       den_eps=1e-8, bwd_tile=64,
+                                       dot_dtype="float32"))
     ls, auxs, gs = step(replicate(params, mesh), shard_batch(X, mesh),
                         shard_batch(coef, mesh))
     np.testing.assert_allclose(float(ls), float(lo), rtol=1e-6)
