@@ -163,7 +163,15 @@ def _run(all_devices: bool = False, batch: int | None = None,
     # jet-forward kernel disappears entirely (kernels/fused_step.py);
     # identical loss definition (r = -lap u - f), grads from the in-kernel
     # reverse sweep.  Interpreter mode off-TPU (validation only).
-    use_fused = kernel_mode == "fused"
+    use_fused = kernel_mode in ("fused", "fused-bf16")
+    # --kernel-mode fused-bf16: the fused kernel with bf16 dot inputs —
+    # the composition VERDICT r3 #3 asks about.  On the fused path the
+    # inter-kernel HBM streams the hybrid schedule saved on the XLA path
+    # (1.8x there) no longer exist, so any remaining reduced-precision win
+    # must come from in-kernel dot throughput; this mode measures exactly
+    # that (a second bench line, never the headline — lap rel-err ~2e-3).
+    fused_opts = ({"dot_dtype": "bfloat16"}
+                  if kernel_mode == "fused-bf16" else {})
 
     if all_devices:
         from nnpde_tpu.parallel.mesh import (
@@ -216,7 +224,7 @@ def _run(all_devices: bool = False, batch: int | None = None,
                     loss, _, grads = fused_sharded(params, X, coef)
                 else:
                     loss, _, grads = fused_linear_residual(
-                        params, X, coef, "sin"
+                        params, X, coef, "sin", **fused_opts
                     )
             else:
 
@@ -278,7 +286,8 @@ if __name__ == "__main__":
                     help="validation mode: force an N-device virtual CPU "
                          "mesh instead of the real backend")
     ap.add_argument("--kernel-mode",
-                    choices=["exact", "bf16", "fused", "fused-analytic"],
+                    choices=["exact", "bf16", "fused", "fused-bf16",
+                             "fused-analytic"],
                     default="fused",
                     help="bf16 = the 1-pass-bf16 jet kernel (the "
                          "'hybrid-kernel' bulk phase) as a second bench "
