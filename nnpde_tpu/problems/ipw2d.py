@@ -415,7 +415,12 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 Xw, wv_m, dwv_m = X, wv_multi, dwv_multi
             return Xw, wv_m, dwv_m
 
-        def wan_pde(u_params, v_params, key=None, dtype="float32"):
+        def wan_pde(u_params, v_params, key=None, dtype="float32",
+                    ugu=None):
+            # ``ugu``: optional precomputed (u, grad u) at the FIXED grid —
+            # the per-epoch critic context (u is frozen across the inner
+            # critic steps, so its jet is loop-invariant; XLA does not
+            # hoist it out of the fori_loop body)
             if cfg.grid_jitter and key is not None:
                 s = jax.random.uniform(key, (2,), X.dtype)
                 Xw = X_lat + s[None, :] * h_cell
@@ -432,7 +437,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 wv_c, dwv_c = (None, None) if cfg.n_test_grid > 1 else (
                     wv_const, dwv_const
                 )
-            u, gu = net_vg(model, u_params, Xw, dtype)
+            u, gu = (ugu if ugu is not None
+                     else net_vg(model, u_params, Xw, dtype))
             v, gv = net_vg(v_model, v_params, Xw, dtype)
             if cfg.n_test_grid > 1:
                 if (cfg.wan_resample or cfg.grid_jitter) and key is not None:
@@ -485,12 +491,16 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             wv_fix, dwv_fix = ((wv_multi, dwv_multi) if multibump
                                else (wv_const, dwv_const))
         if fused_fixed:
-            def v_context_fn(u_params, key):
+            def fused_context_fn(u_params, key):
                 return pair.v_coef_fn(u_params, E_fix, X, wv_fix, dwv_fix)
-        else:
-            v_context_fn = None
+        # the XLA path gets a per-epoch critic context too whenever the
+        # quadrature grid is fixed: (u, grad u) at X is invariant across
+        # the inner critic steps, so compute it once per epoch (and at the
+        # EG lookahead point) instead of once per critic step
+        xla_fixed = not (cfg.grid_jitter or cfg.wan_resample)
 
         def make_wan_losses(dtype):
+            """-> (u_loss_fn, v_loss_fn, v_context_fn or None)."""
             if fused_wan and dtype == "float32":
                 def v_loss_fn(v_params, ctx, key):
                     # ctx = the per-epoch coefficient stream (fixed grid)
@@ -521,11 +531,23 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                         w[k] * terms[k] for k in w if k != "pde")
                     return total, terms
 
-                return u_loss_fn, v_loss_fn
+                return (u_loss_fn, v_loss_fn,
+                        fused_context_fn if fused_fixed else None)
 
-            def v_loss_fn(v_params, u_params, key):
-                loss_pde, _, _ = wan_pde(u_params, v_params, key, dtype)
-                return -jnp.log(loss_pde + 1e-8)
+            if xla_fixed:
+                def v_context_fn(u_params, key):
+                    return net_vg(model, u_params, X, dtype)
+
+                def v_loss_fn(v_params, ugu, key):
+                    loss_pde, _, _ = wan_pde(None, v_params, None, dtype,
+                                             ugu=ugu)
+                    return -jnp.log(loss_pde + 1e-8)
+            else:
+                v_context_fn = None
+
+                def v_loss_fn(v_params, u_params, key):
+                    loss_pde, _, _ = wan_pde(u_params, v_params, key, dtype)
+                    return -jnp.log(loss_pde + 1e-8)
 
             def u_loss_fn(u_params, v_params, key):
                 loss_pde, u_w, Xw = wan_pde(u_params, v_params, key, dtype)
@@ -555,9 +577,9 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                 total = sum(w[k] * terms[k] for k in w)
                 return total, terms
 
-            return u_loss_fn, v_loss_fn
+            return u_loss_fn, v_loss_fn, v_context_fn
 
-        u_loss_fn, v_loss_fn = make_wan_losses(
+        u_loss_fn, v_loss_fn, v_context_fn = make_wan_losses(
             "float32" if cfg.compute_dtype == "hybrid" else cfg.compute_dtype
         )
 
@@ -583,11 +605,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             # dynamics are precision-sensitive, so f32 stays the WAN
             # default (docs/WAN_FLOOR.md round L).
             bulk = int(cfg.epochs * cfg.hybrid_bf16_fraction)
-            u16, v16 = make_wan_losses("bfloat16")
+            u16, v16, ctx16 = make_wan_losses("bfloat16")
             r1 = fit_wan(
                 u16, v16, eval_fn, params, v_params, epochs=bulk,
                 key=jax.random.fold_in(key, 1), compile_only=compile_only,
-                **wan_kw,
+                v_context_fn=ctx16, **wan_kw,
             )
             if compile_only:
                 return r1
