@@ -317,9 +317,16 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
         def v_context_fn(u_params, key):
             return pair.v_coef_fn(u_params, E_fix, x_grid,
                                   wv_const, dwv_const)
+    else:
+        # XLA path: u's (value, grad) at the fixed grid is invariant
+        # across the inner critic steps (u frozen; XLA does not hoist it
+        # out of the fori_loop body) — compute once per epoch
+        def v_context_fn(u_params, key):
+            return u_model.value_and_grad(u_params, x_grid)
 
-    def wan_pde(u_params, v_params):
-        u, gu = u_model.value_and_grad(u_params, x_grid)
+    def wan_pde(u_params, v_params, ugu=None):
+        u, gu = (ugu if ugu is not None
+                 else u_model.value_and_grad(u_params, x_grid))
         v, gv = v_model.value_and_grad(v_params, x_grid)
         phi = wv_const * v
         gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
@@ -329,12 +336,12 @@ def train_ipw_1d_wan(cfg: IPW1DWanConfig) -> Dict:
         return loss_pde, u
 
     def v_loss_fn(v_params, ctx, key):
-        # ctx = the per-epoch critic coefficient stream (fused) or the
-        # primal params (identity context, non-fused)
+        # ctx = the per-epoch critic coefficient stream (fused) or u's
+        # precomputed (value, grad) at the fixed grid (XLA path)
         if fused:
             lv, _ = pair.v_loss_from_coef(v_params, x_grid, ctx)
             return lv
-        loss_pde, _ = wan_pde(ctx, v_params)
+        loss_pde, _ = wan_pde(None, v_params, ugu=ctx)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):

@@ -276,9 +276,19 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             def v_context_fn(u_params, key):
                 return pair.v_coef_fn(u_params["net"], u_params["E"], X,
                                       wv_kh, dwv_kh, V=V_train)
+        else:
+            # XLA path: u's (value, grad) and the current trainable E are
+            # critic-loop invariant at the fixed grid — once per epoch
+            def v_context_fn(u_params, key):
+                u, gu = model.value_and_grad(u_params["net"], X)
+                return (u, gu, u_params["E"])
 
-        def wan_pde(params, v_params):
-            u, gu = model.value_and_grad(params["net"], X)
+        def wan_pde(params, v_params, ctx=None):
+            if ctx is None:
+                u, gu = model.value_and_grad(params["net"], X)
+                E_cur = params["E"]
+            else:
+                u, gu, E_cur = ctx
             v, gv = v_model.value_and_grad(v_params, X)
             # bump weight function on [-L, L] (KH_1D.py:138-148)
             from ..ops import bump_w
@@ -290,7 +300,7 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
                 0.5 * gu[:, 0] * gphi + V_train * u * phi, 2.0 * L
             )
             I_u_phi = integral_mean(u * phi, 2.0 * L)
-            I_full = I_kin_pot - params["E"] * I_u_phi
+            I_full = I_kin_pot - E_cur * I_u_phi
             norm_phi = integral_mean(phi**2, 2.0 * L) + 1e-12
             pde = (I_full / norm_phi) ** 2      # ratio-squared (KH_1D.py:267)
             return pde, u
@@ -299,7 +309,7 @@ def train_kh(cfg: KHConfig, gt: phys.KHGroundTruth, x_train=None) -> Dict:
             if fused_wan:
                 lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
                 return lv
-            pde, _ = wan_pde(ctx, v_params)
+            pde, _ = wan_pde(None, v_params, ctx=ctx)
             return -pde                          # direct ascent (KH_1D.py:347-350)
 
         def u_loss_fn(u_params, v_params, key):

@@ -350,14 +350,24 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         def v_context_fn(u_params, key):
             return pair.v_coef_fn(u_params["net"], u_params["E"], x_grid,
                                   wv_const, dwv_const, V=V)
+    else:
+        # XLA path: u's (value, grad) and the current trainable E are
+        # critic-loop invariant at the fixed grid — once per epoch
+        def v_context_fn(u_params, key):
+            u, gu = u_model.value_and_grad(u_params["net"], x_grid)
+            return (u, gu, u_params["E"])
 
-    def wan_pde(u_params, v_params):
-        u, gu = u_model.value_and_grad(u_params["net"], x_grid)
+    def wan_pde(u_params, v_params, ctx=None):
+        if ctx is None:
+            u, gu = u_model.value_and_grad(u_params["net"], x_grid)
+            E_cur = u_params["E"]
+        else:
+            u, gu, E_cur = ctx
         v, gv = v_model.value_and_grad(v_params, x_grid)
         phi = wv_const * v
         gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
         weak = wan_weak_residual(
-            gu, phi, gphi, u=u, V=V, E=u_params["E"], prefactor=0.5
+            gu, phi, gphi, u=u, V=V, E=E_cur, prefactor=0.5
         )
         phi_norm = jnp.mean(phi**2)
         return wan_pde_loss(weak, phi_norm), u
@@ -366,7 +376,7 @@ def train_qho_1d_wan(cfg: QHO1DWanConfig) -> Dict:
         if fused:
             lv, _ = pair.v_loss_from_coef(v_params, x_grid, ctx)
             return lv
-        loss_pde, _ = wan_pde(ctx, v_params)
+        loss_pde, _ = wan_pde(None, v_params, ctx=ctx)
         return -jnp.log(loss_pde + 1e-8)
 
     def u_loss_fn(u_params, v_params, key):

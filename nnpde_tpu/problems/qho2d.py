@@ -384,9 +384,15 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             def v_context_fn(u_params, key):
                 return pair.v_coef_fn(u_params["net"], E_fix, X,
                                       wv_const, dwv_const, V=V)
+        else:
+            # XLA path: u's (value, grad) at the fixed meshgrid is
+            # critic-loop invariant — once per epoch
+            def v_context_fn(u_params, key):
+                return u_model.value_and_grad(u_params["net"], X)
 
-        def wan_pde(u_params, v_params):
-            u, gu = u_model.value_and_grad(u_params["net"], X)
+        def wan_pde(u_params, v_params, ugu=None):
+            u, gu = (ugu if ugu is not None
+                     else u_model.value_and_grad(u_params["net"], X))
             v, gv = v_model.value_and_grad(v_params, X)
             phi = wv_const * v
             gphi = dwv_const * v[:, None] + wv_const[:, None] * gv
@@ -400,7 +406,7 @@ def train_qho_2d(cfg: QHO2DConfig) -> Dict:
             if fused_wan:
                 lv, _ = pair.v_loss_from_coef(v_params, X, ctx)
                 return lv
-            loss_pde, _ = wan_pde(ctx, v_params)
+            loss_pde, _ = wan_pde(None, v_params, ugu=ctx)
             return -jnp.log(loss_pde + 1e-8)
 
         def u_loss_fn(u_params, v_params, key):
