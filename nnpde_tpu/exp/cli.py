@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid-jitter", action="store_true",
                    help="WAN: per-eval Cranley-Patterson whole-grid shift "
                         "(unbiased weak-form quadrature, no per-point noise)")
+    p.add_argument("--jitter-anchors-fixed", action="store_true",
+                   help="with --grid-jitter: keep norm/parity/symmetry "
+                        "anchors on the fixed grid (noise-free amplitude "
+                        "target; weak form stays jittered)")
     p.add_argument("--lr-schedule", choices=["constant", "cosine",
                                              "exponential"],
                    default="constant")
@@ -375,6 +379,7 @@ def _dispatch(args) -> int:
                           v_layers=tuple(args.v_layers), v_steps=args.v_steps,
                           n_test_grid=args.n_test_grid,
                           grid_jitter=args.grid_jitter,
+                          jitter_anchors_fixed=args.jitter_anchors_fixed,
                           lr_schedule=args.lr_schedule,
                           compute_dtype=args.compute_dtype,
                           jet_impl=args.jet_impl, minimax=args.minimax,

@@ -73,6 +73,16 @@ class IPW2DConfig:
     # lattice mean has O(h^2) shift-to-shift variation vs O(1/sqrt(N))
     # for iid uniform points.
     grid_jitter: bool = False
+    # WAN + grid_jitter only: keep the anchor terms (norm/parity/symmetry/
+    # orth/data) on the FIXED grid while the weak form rides the jittered
+    # lattice.  Round-Q finding (docs/WAN_FLOOR.md): the full-horizon
+    # jitter run's error is 1.95e-3 raw but 8.48e-4 after one global
+    # amplitude rescale — jitter's composition loss is amplitude wander
+    # from the norm anchor's quadrature target moving with the lattice
+    # every epoch.  The anchors pin symmetries and scale, not integrals
+    # that need unbiased quadrature; the fixed grid does that job
+    # noise-free.  Costs one extra grid-sized forward per primal eval.
+    jitter_anchors_fixed: bool = False
     # WAN only: saddle-point update rule (train/trainer.py fit_wan) —
     # alternating GDA (the reference protocol), extragradient, or optimistic
     minimax: str = "alternating"
@@ -521,7 +531,7 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
                     # u forward for the quadrature terms (same rules as
                     # the XLA path: jitter rides the lattice, resample
                     # keeps the fixed grid)
-                    if cfg.grid_jitter:
+                    if cfg.grid_jitter and not cfg.jitter_anchors_fixed:
                         u, Xq = model.apply_batch(u_params, Xw), Xw
                     else:
                         u, Xq = model.apply_batch(u_params, X), None
@@ -551,7 +561,12 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
 
             def u_loss_fn(u_params, v_params, key):
                 loss_pde, u_w, Xw = wan_pde(u_params, v_params, key, dtype)
-                if cfg.grid_jitter:
+                if cfg.grid_jitter and cfg.jitter_anchors_fixed:
+                    # jittered weak form + fixed-grid anchors: the extra
+                    # fixed-grid forward buys a noise-free amplitude/
+                    # symmetry target (round-Q attack)
+                    u, Xq = model.apply_batch(u_params, X), None
+                elif cfg.grid_jitter:
                     # every integral term rides the jittered lattice (same
                     # forward as the weak form; reflections of a shifted
                     # lattice are equally unbiased) — no second full-grid

@@ -255,6 +255,25 @@ VARIANTS = {
         "grid_jitter": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round Q: jittered weak form + FIXED-grid anchors.  The full-horizon
+    # jitter run (winner_grid400_jitter_cos45k, 1.946e-3) is 8.48e-4 after
+    # one global amplitude rescale — the composition loss is pure amplitude
+    # wander from the norm anchor's target moving with the lattice.  Pin
+    # the anchors back to the fixed grid, keep the unbiased weak form.
+    "winner_grid400_jitter_fixanchor_cos45k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "grid_jitter": True, "jitter_anchors_fixed": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
+    # round-Q cheap screen of the same attack (30k, grid300 — compare
+    # against winner_grid300_jitter 1.468e-3 and winner_grid300 1.632e-3)
+    "winner_grid300_jitter_fixanchor": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 300,
+        "grid_jitter": True, "jitter_anchors_fixed": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-hybrid: A/B reduced precision at the winner config instead
     # of refusing it (VERDICT r2 #7) — bf16 bulk + f32 tail across the
     # full minimax carry.  If accuracy holds, the most expensive runs in

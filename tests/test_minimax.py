@@ -165,6 +165,34 @@ def test_wan_grid_jitter_single_forward_path():
     assert out_j["history"]["total"][-1] != out_f["history"]["total"][-1]
 
 
+def test_wan_grid_jitter_fixed_anchors():
+    """jitter_anchors_fixed: the weak form rides the jittered lattice but
+    the norm/parity/symmetry anchors return to the FIXED grid (round-Q
+    floor attack, docs/WAN_FLOOR.md: jitter's composition loss is
+    amplitude wander from a moving norm target).  The run is finite,
+    seed-deterministic, and differs from both the pure-jitter and the
+    fixed-grid runs (both halves of the split actually reach the loss)."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    base = dict(
+        nx=1, ny=1, method="WAN", technique="FN", epochs=40, chunk=20,
+        grid_n=24, data_grid_n=10, n_boundary=20,
+        layers=(2, 16, 16, 1), v_layers=(2, 8, 8, 1), v_steps=2,
+        minimax="extragradient", v_lr=2e-3,
+        weights={"norm": 100.0},
+    )
+    out_fa = train_ipw_2d(IPW2DConfig(
+        grid_jitter=True, jitter_anchors_fixed=True, **base))
+    out_fa2 = train_ipw_2d(IPW2DConfig(
+        grid_jitter=True, jitter_anchors_fixed=True, **base))
+    out_j = train_ipw_2d(IPW2DConfig(grid_jitter=True, **base))
+    out_f = train_ipw_2d(IPW2DConfig(**base))
+    assert np.all(np.isfinite(out_fa["history"]["l2"]))
+    assert out_fa["L2_error"] == out_fa2["L2_error"]        # seed-determinism
+    assert out_fa["history"]["total"][-1] != out_j["history"]["total"][-1]
+    assert out_fa["history"]["total"][-1] != out_f["history"]["total"][-1]
+
+
 def test_wan_grid_jitter_with_symmetry_orth_terms():
     """Degenerate pair (nx == ny) with an orthogonality override: the
     jittered path must rebuild lower states on the jittered lattice (the
