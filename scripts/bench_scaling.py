@@ -122,6 +122,9 @@ VARIANTS = {
                            kernel_opts={"dot_dtype": "bfloat16"}),
     "fused_bwd256": dict(impl="fused", kernel_opts={"bwd_tile": 256}),
     "fused_bwd1024": dict(impl="fused", kernel_opts={"bwd_tile": 1024}),
+    # three-pass dot splitting: grad rel-err 1.7e-3 -> 9.0e-4 at w64
+    # (kernel_accuracy.json) — this measures what the tighter grads cost
+    "fused_bf16x3": dict(impl="fused", kernel_opts={"dot_dtype": "bf16x3"}),
 }
 
 

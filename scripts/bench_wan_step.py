@@ -72,13 +72,39 @@ def main():
     ap.add_argument("--e2", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=200)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="measure all impls in THIS process (the round-4 "
+                         "sessions showed the second-measured impl reads "
+                         "0.16-0.94x its fresh-process rate — in-process "
+                         "state contaminates the later rows; isolation is "
+                         "the default)")
     a = ap.parse_args()
 
+    impls = [s.strip() for s in a.impls.split(",")]
     rows = []
-    for impl in a.impls.split(","):
-        row = run(impl.strip(), a.grid, a.e1, a.e2, a.chunk)
-        print(json.dumps(row))
-        rows.append(row)
+    if len(impls) > 1 and not a.no_isolate:
+        # one fresh python per impl: device memory, compilation caches and
+        # tunnel state reset between rows, so ordering cannot contaminate
+        import subprocess
+        import tempfile
+
+        for impl in impls:
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                argv = [sys.executable, os.path.abspath(__file__),
+                        "--grid", str(a.grid), "--impls", impl,
+                        "--e1", str(a.e1), "--e2", str(a.e2),
+                        "--chunk", str(a.chunk), "--out", tf.name]
+                rc = subprocess.call(argv)
+                got = json.load(open(tf.name))["rows"] if rc == 0 else [
+                    {"impl": impl, "warning": f"subprocess rc={rc}"}]
+            rows.extend(got)
+            for r in got:
+                print(json.dumps(r))
+    else:
+        for impl in impls:
+            row = run(impl, a.grid, a.e1, a.e2, a.chunk)
+            print(json.dumps(row))
+            rows.append(row)
     by_impl = {r["impl"]: r.get("epochs_per_sec", 0) for r in rows}
     if by_impl.get("xla", 0) > 0 and by_impl.get("pallas-fused", 0) > 0:
         speedup = by_impl["pallas-fused"] / by_impl["xla"]
