@@ -274,6 +274,15 @@ VARIANTS = {
         "grid_jitter": True, "jitter_anchors_fixed": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round Q: stretch the decay window again (30k->45k was the round-K
+    # lever that broke 1.5e-3; every seed's best epoch sits at ~96% of the
+    # horizon and the curve is still creeping — the old "60k regressed"
+    # result predates the norm/parity anchors and the grid400 quadrature)
+    "winner_grid400_cos60k": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 60000,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round K-hybrid: A/B reduced precision at the winner config instead
     # of refusing it (VERDICT r2 #7) — bf16 bulk + f32 tail across the
     # full minimax carry.  If accuracy holds, the most expensive runs in
