@@ -282,24 +282,49 @@ def check_ipw2d_seed_replication():
     screen = os.path.join(os.path.dirname(OUT), "artifacts",
                           "wan_floor_screen.json")
     rows = json.load(open(screen))
-    wanted = ["winner_grid400_cos45k"] + [
-        f"winner_grid400_cos45k_seed{s}" for s in (1, 2, 3, 4)]
-    have = {r["name"]: r for r in rows if r.get("name") in wanted}
-    vals = [float(have[k]["rel_l2"]) for k in wanted if k in have]
-    if len(vals) < 2:
-        print(f"seed replication: only {len(vals)} run(s) in the ledger — "
-              "run scripts/wan_floor.py winner_grid400_cos45k_seed1.. first")
-        return
-    med = float(np.median(vals))
+    by_name = {r["name"]: r for r in rows if "name" in r}
+    # Candidate config families (round Q vs the round-R fixanchor attack):
+    # the gate is median-over-seeds of ONE config; report the family with
+    # the lower median among those with >= 3 finished seeds.
+    families = {
+        "winner_grid400_cos45k": ["winner_grid400_cos45k"] + [
+            f"winner_grid400_cos45k_seed{s}" for s in (1, 2, 3, 4)],
+        "winner_grid400_jitter_fixanchor_cos45k": [
+            "winner_grid400_jitter_fixanchor_cos45k"] + [
+            f"winner_grid400_jitter_fixanchor_cos45k_seed{s}"
+            for s in (1, 2, 3, 4)],
+    }
+    stats = {}
+    for fam, wanted in families.items():
+        have = {k: by_name[k] for k in wanted if k in by_name}
+        vals = [float(v["rel_l2"]) for v in have.values()]
+        if vals:
+            stats[fam] = {
+                "rel_l2_per_seed": {k: float(v["rel_l2"])
+                                    for k, v in have.items()},
+                "n_seeds": len(vals),
+                "rel_l2_median": float(np.median(vals)),
+                "rel_l2_spread": [float(min(vals)), float(max(vals))],
+            }
+    eligible = {f: s for f, s in stats.items() if s["n_seeds"] >= 3}
+    if not eligible:
+        if not stats:
+            print("seed replication: no winner runs in the ledger — run "
+                  "scripts/wan_floor.py winner_grid400_cos45k_seed1.. first")
+            return
+        # fall back to the most-populated family so partial state is
+        # still recorded (pass stays false below 3 seeds)
+        eligible = {max(stats, key=lambda f: stats[f]["n_seeds"]):
+                    stats[max(stats, key=lambda f: stats[f]["n_seeds"])]}
+    best = min(eligible, key=lambda f: eligible[f]["rel_l2_median"])
+    s = eligible[best]
     record("ipw2d_n33_wan_seed_replication", {
-        "rel_l2_per_seed": {k: float(have[k]["rel_l2"])
-                            for k in wanted if k in have},
-        "n_seeds": len(vals),
-        "rel_l2_median": med,
-        "rel_l2_spread": [float(min(vals)), float(max(vals))],
-        "target": "median rel_l2 <= 1e-3 over >= 3 seeds "
+        "config": best,
+        **s,
+        "all_families": stats,
+        "target": "median rel_l2 <= 1e-3 over >= 3 seeds of one config "
                   "(north-star robustness)",
-        "pass": bool(med <= 1e-3 and len(vals) >= 3),
+        "pass": bool(s["rel_l2_median"] <= 1e-3 and s["n_seeds"] >= 3),
     })
 
 

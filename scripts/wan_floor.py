@@ -266,6 +266,16 @@ VARIANTS = {
         "grid_jitter": True, "jitter_anchors_fixed": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round-R seed replication of the fixanchor candidate: if the seed-0
+    # full-scale run lands at/below the 9.6e-4 floor, the median gate
+    # needs >= 3 seeds of the SAME config (acceptance seed-replication
+    # checks whichever family has the lower median).
+    **{f"winner_grid400_jitter_fixanchor_cos45k_seed{s}": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "grid_jitter": True, "jitter_anchors_fixed": True, "seed": s,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    } for s in (1, 2, 3, 4)},
     # round-Q cheap screen of the same attack (30k, grid300 — compare
     # against winner_grid300_jitter 1.468e-3 and winner_grid300 1.632e-3)
     "winner_grid300_jitter_fixanchor": {
