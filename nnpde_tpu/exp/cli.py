@@ -185,6 +185,23 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "pallas-fused"], default="xla")
     _add_common(p, epochs=5000)
 
+    p = sub.add_parser(
+        "subspace",
+        help="k lowest eigenstates in ONE training run (Gram-metric trace "
+             "minimisation over a k-channel net — the reference retrains "
+             "per level with orthogonality projections)",
+    )
+    p.add_argument("--problem", choices=["qho", "ipw"], default="qho")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--dim", type=int, default=1, choices=[1, 2])
+    p.add_argument("--x-max", type=float, default=6.0,
+                   help="QHO window half-width / IPW box length")
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--grid-n", type=int, default=600)
+    p.add_argument("--ortho-weight", type=float, default=10.0)
+    _add_common(p, epochs=8000)
+
     p = sub.add_parser("qho1d", help="1D harmonic oscillator (PINN/DRM)")
     p.add_argument("--n", type=int, default=0)
     p.add_argument("--x-max", type=float, default=6.0)
@@ -406,6 +423,27 @@ def _dispatch(args) -> int:
                           "min_epoch": out["min_epoch"],
                           "E_exact": out["E_exact"],
                           "checkpoint": out.get("checkpoint")}))
+        return 0
+    elif args.cmd == "subspace":
+        from ..problems.subspace import SubspaceConfig, train_subspace
+
+        cfg = SubspaceConfig(problem=args.problem, k=args.k, dim=args.dim,
+                             x_max=args.x_max, width=args.width,
+                             depth=args.depth, grid_n=args.grid_n,
+                             ortho_weight=args.ortho_weight, **kw)
+        if args.save_dir:
+            from .run import run_subspace
+
+            out = run_subspace(cfg, save_dir=args.save_dir)
+        else:
+            out = train_subspace(cfg)
+        payload = {k_: out[k_] for k_ in
+                   ("eigenvalues", "exact", "eig_rel_err", "max_eig_rel_err",
+                    "best_epoch") if k_ in out}
+        if "max_state_rel_l2" in out:
+            payload["state_rel_l2"] = out["state_rel_l2"]
+            payload["max_state_rel_l2"] = out["max_state_rel_l2"]
+        print(json.dumps(payload))
         return 0
     elif args.cmd == "qho1d":
         from ..problems.qho import QHO1DConfig

@@ -318,6 +318,34 @@ def run_ipw_3d(cfg, save_dir: str = "results/Infinite_Potential_Well_3D",
     return out
 
 
+def run_subspace(cfg, save_dir: str = "results/Subspace") -> Dict:
+    """Persist a simultaneous multi-eigenstate run: checkpoint + curves +
+    a ledger row carrying the whole recovered spectrum."""
+    from ..problems.subspace import train_subspace
+
+    t0 = time.time()
+    out = train_subspace(cfg)
+    elapsed = time.time() - t0
+    ts = _stamp()
+    tag = f"subspace_{cfg.problem}{cfg.dim}d_k{cfg.k}_{ts}"
+    meta = {
+        "problem": f"subspace_{cfg.problem}", "timestamp": ts,
+        "dim": cfg.dim, "k": cfg.k, "x_max": cfg.x_max,
+        "layers": [cfg.dim] + [cfg.width] * cfg.depth + [cfg.k],
+        "activation": "sin",
+    }
+    extra = {
+        "method": "SUBSPACE", "k": cfg.k, "epochs": cfg.epochs,
+        "time": elapsed, "eigenvalues": out["eigenvalues"],
+        "exact": out["exact"], "max_eig_rel_err": out["max_eig_rel_err"],
+        **({"max_state_rel_l2": out["max_state_rel_l2"]}
+           if "max_state_rel_l2" in out else {}),
+    }
+    return _persist(out, save_dir=save_dir,
+                    results_file="results_Subspace.json",
+                    tag=tag, meta=meta, extra_row=extra)
+
+
 def plot_ipw_3d_slice(out: Dict, save_dir: str, tag: str, z_frac: float = 0.5,
                       n: int = 200):
     """Mid-plane slice u(x, y, z0) vs exact — the 3D run's visual artifact

@@ -91,6 +91,13 @@ class IPW2DConfig:
     v_lr: Optional[float] = None
     # WAN only: EMA decay for the averaged primal iterate (0 disables)
     u_ema: float = 0.0
+    # Scale-free eval: score the unit-normalised iterate (u * (1/L)/rms(u))
+    # instead of the raw net output.  Deterministic GT-free postprocess —
+    # an eigenfunction's amplitude is normalisation convention; under
+    # grid_jitter the raw amplitude wanders with the norm anchor's moving
+    # quadrature target and best-iterate selection stops seeing the shape
+    # (docs/WAN_FLOOR.md rounds Q/R).
+    eval_selfnorm: bool = False
     grid_n: int = 200
     data_grid_n: int = 50
     n_boundary: int = 200
@@ -115,6 +122,18 @@ class IPW2DConfig:
     # PINN branch admits the trivial u = 0 minimiser — pass e.g.
     # {'data': 1e4} or {'norm': 10.0} here to pin a nontrivial solution.
     weights: Optional[Dict[str, float]] = None
+
+
+def unit_normalize(u, L: float, *, eps: float = 1e-30):
+    """Rescale a sampled field to the unit-L2-norm convention on [0,L]^2.
+
+    GT-free: the rms of ANY unit-norm function on the square is exactly
+    1/L, so ``u * (1/L)/rms(u)`` is the iterate an eigenproblem user
+    would report.  Scale-invariant by construction (u and c*u map to the
+    same function), which is the property ``eval_selfnorm`` needs: under
+    grid_jitter the raw amplitude wanders with the norm anchor's moving
+    quadrature target and hides the shape from best-iterate selection."""
+    return u * ((1.0 / L) / jnp.sqrt(jnp.mean(u * u) + eps))
 
 
 def _lower_states_2d(nx: int, ny: int, X, L: float):
@@ -350,8 +369,19 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
 
     def eval_fn(params, key):
         """Plain MSE on the training grid (IPW_2D.py:262-266); WAN uses the
-        sign-aware variant like the other adversarial trainers."""
+        sign-aware variant like the other adversarial trainers.
+
+        ``eval_selfnorm``: eigenfunctions are defined up to scale, so
+        score the explicitly unit-normalised iterate u * c/rms(u) where
+        c = rms of ANY unit-L2-norm function on [0,L]^2 (an a-priori
+        constant, not ground truth).  Round-Q data: under grid_jitter the
+        norm anchor's quadrature target moves with the lattice and the
+        amplitude wanders ~0.1% epoch-to-epoch, hiding an 8.48e-4 shape
+        under a 1.95e-3 raw error; scale-free eval makes best-iterate
+        selection see the shape (docs/WAN_FLOOR.md round R)."""
         u = model.apply_batch(params, X)
+        if cfg.eval_selfnorm:
+            u = unit_normalize(u, L)
         if cfg.method == "WAN":
             return sign_aware_mse(u, u_exact)
         return jnp.mean((u - u_exact) ** 2)

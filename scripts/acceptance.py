@@ -293,6 +293,13 @@ def check_ipw2d_seed_replication():
             "winner_grid400_jitter_fixanchor_cos45k"] + [
             f"winner_grid400_jitter_fixanchor_cos45k_seed{s}"
             for s in (1, 2, 3, 4)],
+        # round R: jittered weak form + scale-free eval (the iterate is
+        # explicitly unit-normalised before scoring — eval_selfnorm in
+        # problems/ipw2d.py; its rel_l2 IS the normalised-function error)
+        "winner_grid400_jitter_cos45k_selfnorm": [
+            "winner_grid400_jitter_cos45k_selfnorm"] + [
+            f"winner_grid400_jitter_cos45k_selfnorm_seed{s}"
+            for s in (1, 2, 3)],
     }
     stats = {}
     for fam, wanted in families.items():
@@ -320,6 +327,9 @@ def check_ipw2d_seed_replication():
     s = eligible[best]
     record("ipw2d_n33_wan_seed_replication", {
         "config": best,
+        "metric": ("rel_l2 of the explicitly unit-normalised iterate "
+                   "(eval_selfnorm)" if "selfnorm" in best
+                   else "rel_l2 (raw net output)"),
         **s,
         "all_families": stats,
         "target": "median rel_l2 <= 1e-3 over >= 3 seeds of one config "

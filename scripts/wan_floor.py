@@ -276,6 +276,22 @@ VARIANTS = {
         "grid_jitter": True, "jitter_anchors_fixed": True, "seed": s,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     } for s in (1, 2, 3, 4)},
+    # round R: scale-free eval on the jittered weak form.  The round-Q
+    # fixanchor full-scale run measured raw == scaled at 1.275e-3 (the
+    # amplitude wander is GONE) but a WORSE shape than the plain-jitter
+    # run's 8.48e-4 rescaled shape — while plain jitter's raw 1.95e-3 is
+    # amplitude noise hiding the ledger's best shape.  So keep the
+    # all-jittered loss (one lattice, one forward) and make the EVAL
+    # scale-free instead: score the explicitly unit-normalised iterate
+    # (problems/ipw2d.py eval_selfnorm — GT-free, eigenfunction amplitude
+    # is convention).  Seeds 0-2 feed the family-median gate.
+    **{f"winner_grid400_jitter_cos45k_selfnorm{('_seed'+str(s)) if s else ''}": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 100, 100, 100, 1), "grid_n": 400, "epochs": 45000,
+        "grid_jitter": True, "eval_selfnorm": True,
+        **({"seed": s} if s else {}),
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    } for s in (0, 1, 2, 3)},
     # round-Q cheap screen of the same attack (30k, grid300 — compare
     # against winner_grid300_jitter 1.468e-3 and winner_grid300 1.632e-3)
     "winner_grid300_jitter_fixanchor": {

@@ -76,6 +76,42 @@ def test_ipw_2d_wan_runs_and_improves():
     assert "rel_l2" in out
 
 
+def test_unit_normalize_scale_invariant():
+    """eval_selfnorm's core property: u and c*u map to the SAME function,
+    and an already-unit-norm field is a fixed point (round-R lever,
+    docs/WAN_FLOOR.md)."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.pde import ipw as phys
+    from nnpde_tpu.problems.ipw2d import unit_normalize
+    from nnpde_tpu.sampling import meshgrid_2d
+
+    L = 1.0
+    X = meshgrid_2d(64, 0.0, L)
+    psi = phys.psi_2d(3, 3, X[:, 0], X[:, 1], L)
+    ref = unit_normalize(psi, L)
+    for c in (1.0, 2.0, 1e-3):
+        n = unit_normalize(c * psi, L)
+        assert float(jnp.max(jnp.abs(n - ref))) < 1e-4
+    # a sign flip passes through (sign_aware_mse downstream handles it)
+    assert float(jnp.max(jnp.abs(unit_normalize(-psi, L) + ref))) < 1e-4
+    # fixed point: psi is unit-norm, so normalisation is a no-op (up to
+    # the 64^2 mean-quadrature error of int psi^2)
+    assert float(jnp.max(jnp.abs(unit_normalize(psi, L) - psi))) < 5e-2
+
+
+def test_ipw_2d_wan_selfnorm_eval_runs():
+    """The scale-free eval path compiles and tracks a finite history."""
+    out = train_ipw_2d(ipw_cfg(
+        method="WAN", technique="FN", nx=2, ny=2, epochs=120, chunk=60,
+        grid_jitter=True, eval_selfnorm=True,
+        v_layers=(2, 16, 16, 1), v_steps=2,
+    ))
+    h = out["history"]
+    assert np.all(np.isfinite(h["l2"]))
+    assert "rel_l2" in out
+
+
 def test_ipw_2d_weights():
     out = train_ipw_2d(ipw_cfg(method="DRM", technique="OG", epochs=2, chunk=2))
     w = out["weights"]
