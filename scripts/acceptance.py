@@ -92,6 +92,36 @@ def run_ipw3d(epochs=8000):
     })
 
 
+def run_subspace(epochs=8000):
+    """Simultaneous multi-eigenstate rows (capability superset — the
+    reference trains one state per run with projections on saved lower
+    states, IPW_1D_PINN_DRM.py:92-103 / QHO_1D_PINN_DRM.py:197-212):
+    QHO-1D k=6 and IPW-1D k=4, each the WHOLE spectrum in one run."""
+    from nnpde_tpu.problems.subspace import SubspaceConfig, train_subspace
+
+    for name, cfg in (
+        ("subspace_qho1d_k6", SubspaceConfig(
+            problem="qho", k=6, x_max=7.0, epochs=epochs, width=64,
+            depth=3, grid_n=600, eval_grid_n=3000, chunk=1000)),
+        ("subspace_ipw1d_k4", SubspaceConfig(
+            problem="ipw", k=4, x_max=1.0, epochs=epochs, width=64,
+            depth=3, grid_n=600, eval_grid_n=3000, chunk=1000)),
+    ):
+        t0 = time.time()
+        out = train_subspace(cfg)
+        record(name, {
+            "eigenvalues": out["eigenvalues"], "exact": out["exact"],
+            "max_eig_rel_err": out["max_eig_rel_err"],
+            "max_state_rel_l2": out["max_state_rel_l2"],
+            "best_epoch": out["best_epoch"], "epochs": epochs,
+            "elapsed_s": round(time.time() - t0, 1),
+            "target": "max eigenvalue rel-err <= 5e-3 AND max state "
+                      "rel-L2 <= 5e-2, all k levels from ONE run",
+            "pass": bool(out["max_eig_rel_err"] <= 5e-3
+                         and out["max_state_rel_l2"] <= 5e-2),
+        })
+
+
 def run_ipw2d_n33(method, technique="FN", epochs=20000, weights=None):
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
@@ -500,6 +530,8 @@ if __name__ == "__main__":
         run_poisson_fused_parity()
     if which in ("all", "ipw3d"):
         run_ipw3d()
+    if which in ("all", "subspace"):
+        run_subspace()
     if which in ("all", "poisson"):
         run_poisson(1, "PINN")
         run_poisson(5, "PINN")
