@@ -153,7 +153,8 @@ def _lower_states_2d(nx: int, ny: int, X, L: float):
 
 
 def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
-                 compile_only: bool = False) -> Dict:
+                 compile_only: bool = False, init_carry=None,
+                 start_epoch: int = 0, run_epochs=None) -> Dict:
     """``init_params``/``init_v_params`` warm-start the nets (staged-
     annealing protocol for the WAN minimax: converge at one lr horizon,
     restart the schedule from the best iterate at a lower lr).
@@ -161,9 +162,28 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
     ``compile_only``: lower+compile the training step and return its
     memory-analysis dict instead of training (HBM-pressure probe; see
     train/trainer.py:_compile_probe).  Hybrid configs probe the bulk
-    phase (the bigger program)."""
+    phase (the bigger program).
+
+    ``init_carry``/``start_epoch``/``run_epochs``: segmented training.
+    Runs ``run_epochs`` epochs (default: the rest of the horizon) of the
+    FULL ``cfg.epochs`` schedule starting at global epoch ``start_epoch``
+    from a prior ``result.carry`` — bit-identical to one continuous run
+    (per-epoch keys fold in the absolute epoch index, the lr schedule
+    rides the optimizer state; tests/test_resume.py).  This is what makes
+    multi-hour floor runs survivable across bounded sessions/outages:
+    checkpoint the carry between segments (scripts/wan_floor.py
+    --segmented).  Not supported with compute_dtype='hybrid' (two-phase
+    precision switch has its own internal segmentation)."""
     if cfg.method not in ("PINN", "DRM", "WAN"):
         raise ValueError("method must be 'PINN', 'DRM' or 'WAN'")
+    if (init_carry is not None or start_epoch or run_epochs is not None) \
+            and cfg.compute_dtype == "hybrid":
+        raise ValueError("segmented resume is not supported with "
+                         "compute_dtype='hybrid'")
+    seg_epochs = (cfg.epochs - start_epoch) if run_epochs is None \
+        else run_epochs
+    if start_epoch + seg_epochs > cfg.epochs:
+        raise ValueError("start_epoch + run_epochs exceeds cfg.epochs")
     if cfg.compute_dtype not in ("float32", "bfloat16", "hybrid"):
         raise ValueError(
             "compute_dtype must be 'float32', 'bfloat16' or 'hybrid'"
@@ -670,7 +690,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         else:
             result = fit_wan(
                 u_loss_fn, v_loss_fn, eval_fn, params, v_params,
-                epochs=cfg.epochs,
+                epochs=seg_epochs, start_epoch=start_epoch,
+                init_carry=init_carry,
                 key=jax.random.fold_in(key, 1), compile_only=compile_only,
                 v_context_fn=v_context_fn, **wan_kw,
             )
@@ -751,7 +772,8 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         else:
             result = fit(
                 loss_fn, eval_fn, params,
-                epochs=cfg.epochs, optimizer=optimizer,
+                epochs=seg_epochs, optimizer=optimizer,
+                start_epoch=start_epoch, init_carry=init_carry,
                 key=jax.random.fold_in(key, 1), chunk=chunk,
                 compile_only=compile_only, **fused_kw,
             )

@@ -417,14 +417,81 @@ STAGED = {
     "staged_eg": {"minimax": "extragradient"},
 }
 
+CKPT_DIR = os.path.join(os.path.dirname(OUT), "wan_floor_ckpt")
+
+
+def run_segmented(name, overrides, seg_epochs=5000):
+    """Outage/session-proof full-horizon run: train in ``seg_epochs``
+    segments, checkpointing the full minimax carry (params + both
+    optimizer states + best tracking + EMA/OGDA state) to disk after each
+    segment.  Re-running the same variant resumes from the last completed
+    segment; the result is bit-identical to one continuous run (per-epoch
+    keys fold in the absolute epoch index, the lr schedule rides the
+    optimizer state — tests/test_resume.py::test_ipw2d_wan_segmented).
+
+    Motivation: the ~4000 s full-horizon floor runs are longer than one
+    driver session, and the VM (and /tmp) is fresh each session — an
+    unsegmented run that doesn't finish leaves NOTHING.  This is the
+    round-3 verdict's "make the measurement pipeline un-losable" applied
+    to training runs, not just entry points."""
+    from nnpde_tpu.exp import load_train_state, save_train_state
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    cfg = IPW2DConfig(**{**BASE, **overrides})
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    state_path = os.path.join(CKPT_DIR, f"{name}.msgpack")
+    meta_path = os.path.join(CKPT_DIR, f"{name}.json")
+    done, elapsed, carry = 0, 0.0, None
+    if os.path.exists(meta_path) and os.path.exists(state_path):
+        meta = json.load(open(meta_path))
+        done, elapsed = meta["done_epochs"], meta["elapsed_s"]
+        # template carry with the right structure, values from disk
+        template = train_ipw_2d(cfg, run_epochs=0)["result"].carry
+        carry = load_train_state(state_path, template)
+        print(f"[wan_floor:{name}] resume at epoch {done}/{cfg.epochs}",
+              flush=True)
+    out = None
+    while done < cfg.epochs:
+        n = min(seg_epochs, cfg.epochs - done)
+        t0 = time.time()
+        out = train_ipw_2d(cfg, init_carry=carry, start_epoch=done,
+                           run_epochs=n)
+        elapsed += time.time() - t0
+        done += n
+        carry = out["result"].carry
+        save_train_state(state_path, carry)
+        json.dump({"done_epochs": done, "elapsed_s": round(elapsed, 1),
+                   "rel_l2_so_far": out["rel_l2"],
+                   "best_epoch_so_far": out["min_epoch"]},
+                  open(meta_path, "w"))
+        print(f"[wan_floor:{name}] {done}/{cfg.epochs} epochs, "
+              f"best so far {out['rel_l2']:.4g} @ {out['min_epoch']}",
+              flush=True)
+    record(name, {
+        "rel_l2": out["rel_l2"],
+        "rel_l2_scaled": scale_optimal_rel_l2(out),
+        "best_epoch": out["min_epoch"],
+        "epochs": cfg.epochs,
+        "overrides": {k: str(v) for k, v in overrides.items()},
+        "elapsed_s": round(elapsed, 1),
+        "segmented": seg_epochs,
+    })
+    for p in (state_path, meta_path):
+        if os.path.exists(p):
+            os.remove(p)
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args or args[0] == "--list":
         print("\n".join(list(VARIANTS) + list(STAGED)))
         sys.exit(0)
+    segmented = "--segmented" in args
+    args = [a for a in args if a != "--segmented"]
     for a in args:
         if a in STAGED:
             run_staged(a, STAGED[a])
+        elif segmented:
+            run_segmented(a, VARIANTS[a])
         else:
             run(a, VARIANTS[a])

@@ -80,3 +80,32 @@ def test_timing_counters(problem):
             key=jax.random.PRNGKey(0), chunk=25)
     assert r.timing["elapsed_s"] > 0
     assert np.isfinite(r.timing["steps_per_s"])
+
+
+def test_ipw2d_wan_segmented(tmp_path):
+    """Segmented train_ipw_2d (the wan_floor --segmented protocol) must
+    bit-match one continuous run: full minimax carry through disk, cosine
+    schedule + jitter keys indexed by absolute epoch."""
+    from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
+
+    kw = dict(nx=1, ny=1, method="WAN", technique="FN", epochs=40,
+              lr_schedule="cosine", minimax="extragradient",
+              grid_jitter=True, eval_selfnorm=True, grid_n=16,
+              data_grid_n=8, n_boundary=8, chunk=10,
+              layers=(2, 12, 12, 1), v_layers=(2, 8, 8, 1))
+    full = train_ipw_2d(IPW2DConfig(**kw))
+
+    cfg = IPW2DConfig(**kw)
+    seg1 = train_ipw_2d(cfg, run_epochs=25)
+    path = str(tmp_path / "seg.msgpack")
+    save_train_state(path, seg1["result"].carry)
+    template = train_ipw_2d(cfg, run_epochs=0)["result"].carry
+    restored = load_train_state(path, template)
+    seg2 = train_ipw_2d(cfg, init_carry=restored, start_epoch=25)
+
+    assert seg2["min_epoch"] == full["min_epoch"]
+    np.testing.assert_allclose(seg2["rel_l2"], full["rel_l2"],
+                               rtol=1e-7, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(seg2["result"].params),
+                    jax.tree_util.tree_leaves(full["result"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
