@@ -162,7 +162,9 @@ def _exact_spectrum(cfg: SubspaceConfig) -> np.ndarray:
 
 def _exact_states(cfg: SubspaceConfig, X: np.ndarray) -> Optional[np.ndarray]:
     """(N, k) exact eigenfunctions where the level ordering is unambiguous
-    (1D); None for 2D degenerate spectra (eigenvalue check only)."""
+    (1D); None for 2D degenerate spectra (use :func:`_exact_state_groups_2d`
+    + principal angles instead — individual 2D states are gauge, only the
+    degenerate SUBSPACE is physical)."""
     if cfg.dim != 1:
         return None
     x = X[:, 0]
@@ -171,6 +173,69 @@ def _exact_states(cfg: SubspaceConfig, X: np.ndarray) -> Optional[np.ndarray]:
     else:
         cols = [ipw_phys.psi_1d(n + 1, x, cfg.x_max) for n in range(cfg.k)]
     return np.stack([np.asarray(c) for c in cols], axis=1)
+
+
+def _exact_state_groups_2d(cfg: SubspaceConfig, X: np.ndarray):
+    """Degenerate clusters of the 2D spectrum, with their exact bases.
+
+    Returns a list of ``(i0, i1, energy, P)``: levels [i0, i1) of the
+    sorted spectrum share ``energy`` and ``P`` is the (N, i1-i0) stack of
+    the cluster's product eigenfunctions on ``X``.  A cluster that the
+    ``k`` cut would slice is returned WHOLE (its full exact basis): the
+    learned columns inside the cut must still lie INSIDE the full
+    degenerate subspace, which principal angles measure directly."""
+    x, y = X[:, 0], X[:, 1]
+    pairs = []
+    for nx in range(cfg.k + 2):
+        for ny in range(cfg.k + 2):
+            if cfg.problem == "qho":
+                E = qho_phys.energy_2d(nx, ny)
+                psi = qho_phys.psi_2d(nx, ny, x, y)
+            else:
+                E = ipw_phys.energy_2d(nx + 1, ny + 1, cfg.x_max)
+                psi = ipw_phys.psi_2d(nx + 1, ny + 1, x, y, cfg.x_max)
+            pairs.append((float(E), np.asarray(psi, np.float64)))
+    pairs.sort(key=lambda t: t[0])
+    groups, i = [], 0
+    while i < min(cfg.k, len(pairs)):
+        j = i
+        while j < len(pairs) and np.isclose(pairs[j][0], pairs[i][0],
+                                            rtol=1e-9, atol=1e-9):
+            j += 1
+        groups.append((i, j, pairs[i][0],
+                       np.stack([p for _, p in pairs[i:j]], axis=1)))
+        i = j
+    return groups
+
+
+def subspace_group_scores(U: np.ndarray, groups, k: int):
+    """Principal-angle validation of learned states against degenerate
+    exact subspaces.
+
+    For each cluster ``(i0, i1, E, P)``: orthonormalise the learned
+    columns ``U[:, i0:min(i1, k)]`` and the full exact basis ``P`` (QR in
+    the discrete L2 inner product — uniform tensor grid, so plain dots),
+    take the SVD of the cross-Gram; the singular values are the cosines of
+    the principal angles.  ``sin_max = sqrt(1 - cos_min^2)`` is the
+    largest angle between the learned span and the exact subspace — 0 iff
+    the learned states lie exactly inside it, gauge-free under any
+    rotation within a degenerate cluster (the rotation freedom that makes
+    per-state rel-L2 meaningless in 2D)."""
+    out = []
+    for i0, i1, E, P in groups:
+        Ug = U[:, i0:min(i1, k)]
+        Qu, _ = np.linalg.qr(Ug)
+        Qp, _ = np.linalg.qr(P)
+        s = np.linalg.svd(Qu.T @ Qp, compute_uv=False)
+        cos_min = float(np.clip(s[: Ug.shape[1]].min(), 0.0, 1.0))
+        out.append({
+            "levels": [int(i0), int(min(i1, k))],
+            "energy": float(E),
+            "degeneracy": int(i1 - i0),
+            "n_learned": int(Ug.shape[1]),
+            "sin_max": float(np.sqrt(max(0.0, 1.0 - cos_min**2))),
+        })
+    return out
 
 
 def normalize_input_layer(params, lo: float, hi: float, *,
@@ -321,4 +386,11 @@ def evaluate_subspace(cfg: SubspaceConfig, model, params) -> Dict:
                                   np.linalg.norm(u + p))))
         out["state_rel_l2"] = rels
         out["max_state_rel_l2"] = float(np.max(rels))
+    elif cfg.dim == 2:
+        # degenerate spectra: per-cluster principal-angle validation —
+        # the learned span of each degenerate group vs its exact subspace
+        groups = _exact_state_groups_2d(cfg, np.asarray(Xd))
+        scores = subspace_group_scores(U, groups, cfg.k)
+        out["subspace_groups"] = scores
+        out["max_subspace_sin"] = float(max(s["sin_max"] for s in scores))
     return out

@@ -70,8 +70,28 @@ def run_gate() -> None:
         log("gate TIMEOUT")
 
 
+def run_subspace_2d_once() -> None:
+    """Close the subspace_qho2d_k6 acceptance row (short TPU job) the
+    first time the chip frees up between floor runs."""
+    try:
+        rows = json.load(open(os.path.join(REPO, "ACCEPTANCE.json")))
+        if any(r.get("name") == "subspace_qho2d_k6" for r in rows):
+            return
+    except Exception:
+        pass
+    log("running subspace-2d acceptance row")
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/acceptance.py", "subspace-2d"],
+            cwd=REPO, env=ENV, timeout=3600, capture_output=True, text=True)
+        log(f"subspace-2d rc={r.returncode}: {(r.stdout or r.stderr)[-300:]}")
+    except subprocess.TimeoutExpired:
+        log("subspace-2d TIMEOUT")
+
+
 def main() -> None:
     run_gate()
+    first_done = False
     for name in QUEUE:
         done = in_ledger(name)
         if done is not None:
@@ -90,6 +110,9 @@ def main() -> None:
             if r.returncode == 0:
                 break
         run_gate()
+        if not first_done:
+            first_done = True
+            run_subspace_2d_once()
     log("queue drained")
 
 

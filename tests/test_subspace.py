@@ -135,3 +135,69 @@ class TestTraining:
         out = evaluate_subspace(cfg, model, params)
         assert len(out["eigenvalues"]) == 2
         assert "max_eig_rel_err" in out and "state_rel_l2" in out
+
+
+class TestDegenerateSubspaceValidation:
+    """2D spectra are degenerate — individual states are gauge; only the
+    spanned subspace per cluster is physical.  The validator scores
+    principal angles between the learned span and the exact degenerate
+    subspace (subspace_group_scores)."""
+
+    def _groups(self, k=3, N=40, L=1.0):
+        from nnpde_tpu.problems.subspace import _exact_state_groups_2d
+        from nnpde_tpu.sampling import meshgrid_2d
+
+        cfg = SubspaceConfig(problem="ipw", dim=2, k=k, x_max=L)
+        X = np.asarray(meshgrid_2d(N, 0.0, L))
+        return cfg, X, _exact_state_groups_2d(cfg, X)
+
+    def test_cluster_structure_ipw(self):
+        cfg, X, groups = self._groups()
+        # IPW 2D: E(1,1) singleton, then the degenerate pair E(1,2)=E(2,1)
+        assert groups[0][0:2] == (0, 1)
+        assert groups[1][0:2] == (1, 3)
+
+    def test_rotated_degenerate_pair_scores_zero(self):
+        from nnpde_tpu.problems.subspace import subspace_group_scores
+
+        cfg, X, groups = self._groups()
+        psi = np.concatenate([g[3] for g in groups], axis=1)[:, : cfg.k]
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        U = psi.copy()
+        U[:, 1:3] = U[:, 1:3] @ R           # arbitrary gauge rotation
+        U[:, 0] *= -1.7                      # scale/sign is gauge too
+        scores = subspace_group_scores(U, groups, cfg.k)
+        assert max(s["sin_max"] for s in scores) < 1e-6
+
+    def test_wrong_state_scores_large(self):
+        from nnpde_tpu.problems.subspace import subspace_group_scores
+
+        cfg, X, groups = self._groups()
+        psi = np.concatenate([g[3] for g in groups], axis=1)[:, : cfg.k]
+        U = psi.copy()
+        # replace one degenerate-pair member by a state OUTSIDE the cluster
+        U[:, 2] = np.asarray(ipw_phys.psi_2d(2, 2, X[:, 0], X[:, 1], 1.0))
+        scores = subspace_group_scores(U, groups, cfg.k)
+        assert scores[1]["sin_max"] > 0.9
+
+    def test_cut_cluster_uses_full_exact_basis(self):
+        from nnpde_tpu.problems.subspace import subspace_group_scores
+
+        cfg, X, groups = self._groups(k=2)   # k=2 slices the (1,2)/(2,1) pair
+        assert groups[-1][1] == 3            # cluster returned whole
+        psi12 = groups[1][3]
+        U = np.concatenate(
+            [groups[0][3], (psi12 @ np.array([[0.6], [0.8]]))], axis=1
+        )                                    # any vector INSIDE the pair span
+        scores = subspace_group_scores(U, groups, cfg.k)
+        assert scores[1]["n_learned"] == 1 and scores[1]["degeneracy"] == 2
+        assert max(s["sin_max"] for s in scores) < 1e-6
+
+    def test_e2e_2d_ipw(self):
+        cfg = SubspaceConfig(problem="ipw", dim=2, k=3, x_max=1.0,
+                             epochs=2500, grid_n=48, eval_grid_n=96,
+                             width=32, depth=3, seed=0)
+        out = train_subspace(cfg)
+        assert out["max_eig_rel_err"] < 5e-2
+        assert out["max_subspace_sin"] < 0.2
