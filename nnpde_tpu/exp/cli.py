@@ -199,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--grid-n", type=int, default=600)
+    p.add_argument("--eval-grid-n", type=int, default=2000,
+                   help="dense per-dim grid for the final report (2D: "
+                        "n^2 points — lower it off-TPU)")
     p.add_argument("--ortho-weight", type=float, default=10.0)
     _add_common(p, epochs=8000)
 
@@ -430,6 +433,7 @@ def _dispatch(args) -> int:
         cfg = SubspaceConfig(problem=args.problem, k=args.k, dim=args.dim,
                              x_max=args.x_max, width=args.width,
                              depth=args.depth, grid_n=args.grid_n,
+                             eval_grid_n=args.eval_grid_n,
                              ortho_weight=args.ortho_weight, **kw)
         if args.save_dir:
             from .run import run_subspace
@@ -443,6 +447,9 @@ def _dispatch(args) -> int:
         if "max_state_rel_l2" in out:
             payload["state_rel_l2"] = out["state_rel_l2"]
             payload["max_state_rel_l2"] = out["max_state_rel_l2"]
+        if "max_subspace_sin" in out:   # 2D degenerate-cluster validation
+            payload["subspace_groups"] = out["subspace_groups"]
+            payload["max_subspace_sin"] = out["max_subspace_sin"]
         print(json.dumps(payload))
         return 0
     elif args.cmd == "qho1d":
