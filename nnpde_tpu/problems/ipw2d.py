@@ -124,16 +124,24 @@ class IPW2DConfig:
     weights: Optional[Dict[str, float]] = None
 
 
-def unit_normalize(u, L: float, *, eps: float = 1e-30):
-    """Rescale a sampled field to the unit-L2-norm convention on [0,L]^2.
+def unit_normalize(u, target_rms, *, eps: float = 1e-30):
+    """Rescale a sampled field to a fixed rms convention: u * c / rms(u).
 
-    GT-free: the rms of ANY unit-norm function on the square is exactly
-    1/L, so ``u * (1/L)/rms(u)`` is the iterate an eigenproblem user
-    would report.  Scale-invariant by construction (u and c*u map to the
-    same function), which is the property ``eval_selfnorm`` needs: under
-    grid_jitter the raw amplitude wanders with the norm anchor's moving
-    quadrature target and hides the shape from best-iterate selection."""
-    return u * ((1.0 / L) / jnp.sqrt(jnp.mean(u * u) + eps))
+    Scale-invariant by construction (u and c*u map to the same function),
+    which is the property ``eval_selfnorm`` needs: under grid_jitter the
+    raw amplitude wanders with the norm anchor's moving quadrature target
+    and hides the shape from best-iterate selection.
+
+    ``target_rms`` must be the rms of the comparison target ON THE SAME
+    eval grid (i.e. both sides reduced to one discrete norm convention —
+    the standard scale-free eigenfunction distance min_± ||û ∓ ψ̂||).
+    Round-4 defect fixed here: the old signature took ``L`` and used the
+    CONTINUUM constant 1/L, but the endpoint-inclusive meshgrid rms of
+    ψ differs from 1/L by (n-1)/n per dim ≈ 2.5e-3 at grid_n=400 — a
+    quadrature bias LARGER than the 1e-3 acceptance gate, which is why
+    the round-4 selfnorm seed-0 row read raw 2.65e-3 over an 8.48e-4
+    shape (docs/WAN_FLOOR.md round T)."""
+    return u * (target_rms / jnp.sqrt(jnp.mean(u * u) + eps))
 
 
 def _lower_states_2d(nx: int, ny: int, X, L: float):
@@ -392,16 +400,20 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
         sign-aware variant like the other adversarial trainers.
 
         ``eval_selfnorm``: eigenfunctions are defined up to scale, so
-        score the explicitly unit-normalised iterate u * c/rms(u) where
-        c = rms of ANY unit-L2-norm function on [0,L]^2 (an a-priori
-        constant, not ground truth).  Round-Q data: under grid_jitter the
-        norm anchor's quadrature target moves with the lattice and the
-        amplitude wanders ~0.1% epoch-to-epoch, hiding an 8.48e-4 shape
-        under a 1.95e-3 raw error; scale-free eval makes best-iterate
-        selection see the shape (docs/WAN_FLOOR.md round R)."""
+        score the explicitly unit-normalised iterate — both sides reduced
+        to the SAME discrete grid-norm convention (u * rms(ψ)/rms(u) vs
+        ψ, the standard scale-free eigenfunction distance; equals the
+        optimal-rescale error to second order in the error, and is
+        convention-matching, not shape-fitting: only the single scalar
+        rms(ψ) enters, never ψ's shape).  Round-Q data: under grid_jitter
+        the norm anchor's quadrature target moves with the lattice and
+        the amplitude wanders ~0.1% epoch-to-epoch, hiding an 8.48e-4
+        shape under a 1.95e-3 raw error; scale-free eval makes
+        best-iterate selection see the shape (docs/WAN_FLOOR.md rounds
+        R and T — round T pre-registers this exact metric)."""
         u = model.apply_batch(params, X)
         if cfg.eval_selfnorm:
-            u = unit_normalize(u, L)
+            u = unit_normalize(u, jnp.sqrt(jnp.mean(u_exact * u_exact)))
         if cfg.method == "WAN":
             return sign_aware_mse(u, u_exact)
         return jnp.mean((u - u_exact) ** 2)
@@ -779,7 +791,11 @@ def train_ipw_2d(cfg: IPW2DConfig, init_params=None, init_v_params=None,
             )
             if compile_only:
                 return result
-        if cfg.LBFGS:
+        # ADVICE r4 (low): under segmented training the polish must run
+        # exactly once, after the LAST segment — running it per segment
+        # would overwrite best tracking with a polish the returned carry
+        # doesn't contain, silently diverging from the continuous run.
+        if cfg.LBFGS and start_epoch + seg_epochs == cfg.epochs:
             polished, _ = lbfgs_polish(lambda p: loss_terms(p)[0], result.params,
                                        max_iter=500)
             final_m = float(eval_fn(polished, None))

@@ -352,9 +352,13 @@ def check_ipw2d_seed_replication():
             "winner_grid400_jitter_fixanchor_cos45k"] + [
             f"winner_grid400_jitter_fixanchor_cos45k_seed{s}"
             for s in (1, 2, 3, 4)],
-        # round R: jittered weak form + scale-free eval (the iterate is
+        # round R/T: jittered weak form + scale-free eval (the iterate is
         # explicitly unit-normalised before scoring — eval_selfnorm in
-        # problems/ipw2d.py; its rel_l2 IS the normalised-function error)
+        # problems/ipw2d.py; its rel_l2 IS the normalised-function error).
+        # Metric PRE-REGISTERED in docs/WAN_FLOOR.md round T: both sides
+        # reduced to the same discrete grid-norm convention (the round-4
+        # continuum-1/L variant carried a -2.5e-3 quadrature bias and its
+        # seed-0 row is void as a gate input).
         "winner_grid400_jitter_cos45k_selfnorm": [
             "winner_grid400_jitter_cos45k_selfnorm"] + [
             f"winner_grid400_jitter_cos45k_selfnorm_seed{s}"
@@ -386,8 +390,10 @@ def check_ipw2d_seed_replication():
     s = eligible[best]
     record("ipw2d_n33_wan_seed_replication", {
         "config": best,
-        "metric": ("rel_l2 of the explicitly unit-normalised iterate "
-                   "(eval_selfnorm)" if "selfnorm" in best
+        "metric": ("sign-aware rel_l2 of the unit-normalised iterate, both "
+                   "sides on the grid-norm convention (eval_selfnorm; "
+                   "pre-registered, docs/WAN_FLOOR.md round T)"
+                   if "selfnorm" in best
                    else "rel_l2 (raw net output)"),
         **s,
         "all_families": stats,
@@ -505,6 +511,38 @@ def run_poisson_5d_drm_rqmc(epochs=20000):
     return out
 
 
+def run_poisson_5d_drm_neumann(epochs=20000):
+    """Round-5 row (VERDICT r4 #3): BASELINE.json configs[1] asks for 'DRM
+    energy minimisation + Neumann BCs' at 5D full scale — the passing DRM
+    row is Dirichlet.  Compose the passing sobol+resample+cosine recipe
+    with bc_type='neumann' (soft normal-derivative penalty, RB) and the
+    zero-Neumann cos manufactured family; the mean-pin weight activates
+    automatically (pure-Neumann Poisson is defined up to a constant).
+    Target declared in advance: rel_l2 <= 1e-3 at <= 20k epochs.
+    Supersedes the reference's claimed-but-unimplemented Neumann support
+    (/root/reference/README.md:23 vs Poisson_ND.py:130-141)."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    t0 = time.time()
+    out = train_poisson_nd(PoissonConfig(
+        dim=5, method="DRM", bc_mode="RB", bc_type="neumann",
+        solution="cos", epochs=epochs, chunk=2000,
+        n_interior=32768, sampler="sobol", resample=True,
+        lr_schedule="cosine",
+    ))
+    record("poisson_5d_drm_neumann", {
+        "rel_l2": out["rel_l2"], "best_epoch": out["best_epoch"],
+        "epochs": epochs, "n_interior": 32768, "sampler": "sobol",
+        "resample": True, "lr_schedule": "cosine",
+        "bc_type": "neumann", "solution": "cos",
+        "metric": "rel_l2 (raw net output) vs prod-cos exact on fresh "
+                  "uniform eval points",
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-3 at <= 20k epochs",
+        "pass": out["rel_l2"] <= 1e-3,
+    })
+
+
 def check_qho2d_trainE_ledger():
     """Machine-checkable closure of the trainable-E characterization
     (VERDICT r2 'weak' #6): assert dE(PINN-FBC) <= 1e-4 at all six
@@ -555,6 +593,8 @@ if __name__ == "__main__":
         check_qho2d_trainE_ledger()
     if which in ("all", "r2-rqmc"):
         run_poisson_5d_drm_rqmc()
+    if which in ("all", "poisson-5d-neumann"):
+        run_poisson_5d_drm_neumann()
     if which in ("all", "fused"):
         run_poisson_fused_parity()
     if which in ("all", "ipw3d"):

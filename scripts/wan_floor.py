@@ -441,13 +441,36 @@ def run_segmented(name, overrides, seg_epochs=5000):
     os.makedirs(CKPT_DIR, exist_ok=True)
     state_path = os.path.join(CKPT_DIR, f"{name}.msgpack")
     meta_path = os.path.join(CKPT_DIR, f"{name}.json")
+
+    def template_payload():
+        return {"carry": train_ipw_2d(cfg, run_epochs=0)["result"].carry,
+                "done_epochs": 0, "elapsed_s": 0.0}
+
+    def atomic_save(payload, meta):
+        # ADVICE r4 (medium): done_epochs travels INSIDE the msgpack
+        # payload and both files land via os.replace, so a kill at any
+        # byte leaves either the previous consistent pair or the new
+        # one — the carry can never be a segment ahead of its epoch
+        # count, and a truncated meta can never poison a resume (meta is
+        # informational only; resume reads done from the payload).
+        tmp = state_path + ".tmp"
+        save_train_state(tmp, payload)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.replace(tmp, state_path)
+        mtmp = meta_path + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, meta_path)
+
     done, elapsed, carry = 0, 0.0, None
-    if os.path.exists(meta_path) and os.path.exists(state_path):
-        meta = json.load(open(meta_path))
-        done, elapsed = meta["done_epochs"], meta["elapsed_s"]
-        # template carry with the right structure, values from disk
-        template = train_ipw_2d(cfg, run_epochs=0)["result"].carry
-        carry = load_train_state(state_path, template)
+    if os.path.exists(state_path):
+        payload = load_train_state(state_path, template_payload())
+        done = int(payload["done_epochs"])
+        elapsed = float(payload["elapsed_s"])
+        carry = payload["carry"]
         print(f"[wan_floor:{name}] resume at epoch {done}/{cfg.epochs}",
               flush=True)
     out = None
@@ -459,14 +482,23 @@ def run_segmented(name, overrides, seg_epochs=5000):
         elapsed += time.time() - t0
         done += n
         carry = out["result"].carry
-        save_train_state(state_path, carry)
-        json.dump({"done_epochs": done, "elapsed_s": round(elapsed, 1),
-                   "rel_l2_so_far": out["rel_l2"],
-                   "best_epoch_so_far": out["min_epoch"]},
-                  open(meta_path, "w"))
+        atomic_save({"carry": carry, "done_epochs": done,
+                     "elapsed_s": elapsed},
+                    {"done_epochs": done, "elapsed_s": round(elapsed, 1),
+                     "rel_l2_so_far": out["rel_l2"],
+                     "best_epoch_so_far": out["min_epoch"]})
         print(f"[wan_floor:{name}] {done}/{cfg.epochs} epochs, "
               f"best so far {out['rel_l2']:.4g} @ {out['min_epoch']}",
               flush=True)
+    if out is None:
+        # ADVICE r4 (medium): resumed AFTER all epochs finished but
+        # before the ledger row landed (kill between the final ckpt save
+        # and record()).  Rebuild the result from the restored carry via
+        # a zero-epoch call instead of crashing on out['rel_l2'].
+        out = train_ipw_2d(cfg, init_carry=carry, start_epoch=done,
+                           run_epochs=0)
+        print(f"[wan_floor:{name}] finished run recovered from checkpoint "
+              f"(best {out['rel_l2']:.4g} @ {out['min_epoch']})", flush=True)
     record(name, {
         "rel_l2": out["rel_l2"],
         "rel_l2_scaled": scale_optimal_rel_l2(out),

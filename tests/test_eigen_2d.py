@@ -89,15 +89,22 @@ def test_unit_normalize_scale_invariant():
     L = 1.0
     X = meshgrid_2d(64, 0.0, L)
     psi = phys.psi_2d(3, 3, X[:, 0], X[:, 1], L)
-    ref = unit_normalize(psi, L)
+    rms = jnp.sqrt(jnp.mean(psi * psi))
+    ref = unit_normalize(psi, rms)
     for c in (1.0, 2.0, 1e-3):
-        n = unit_normalize(c * psi, L)
+        n = unit_normalize(c * psi, rms)
         assert float(jnp.max(jnp.abs(n - ref))) < 1e-4
     # a sign flip passes through (sign_aware_mse downstream handles it)
-    assert float(jnp.max(jnp.abs(unit_normalize(-psi, L) + ref))) < 1e-4
-    # fixed point: psi is unit-norm, so normalisation is a no-op (up to
-    # the 64^2 mean-quadrature error of int psi^2)
-    assert float(jnp.max(jnp.abs(unit_normalize(psi, L) - psi))) < 5e-2
+    assert float(jnp.max(jnp.abs(unit_normalize(-psi, rms) + ref))) < 1e-4
+    # EXACT fixed point under the round-T convention: the target rms is
+    # the discrete grid rms of psi itself, so normalising psi is a
+    # bit-level no-op up to float rounding — no quadrature bias.  (The
+    # old continuum 1/L constant left an O(1/grid_n) bias, larger than
+    # the 1e-3 acceptance gate at grid_n=400 — docs/WAN_FLOOR.md round T.)
+    assert float(jnp.max(jnp.abs(unit_normalize(psi, rms) - psi))) < 1e-6
+    # and a rescaled copy comes back to psi exactly, i.e. the metric
+    # sqrt(mean((unit_normalize(u) - psi)^2)) is zero for u = c*psi
+    assert float(jnp.max(jnp.abs(unit_normalize(7.3 * psi, rms) - psi))) < 1e-5
 
 
 def test_ipw_2d_wan_selfnorm_eval_runs():
