@@ -34,8 +34,33 @@ import os
 import time
 
 A100_PYTORCH_BASELINE_PTS_PER_SEC = 1.0e7
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.  The fused kernel's
+# default dots are single-pass bf16 in-kernel (BENCHMARKS.md §Mosaic:
+# DEFAULT f32 dots lower to one bf16 pass), so bf16 peak is the honest
+# denominator for the headline mode; the bf16x3 ("exact") modes run 3
+# MXU passes per dot, i.e. their effective peak is a third of this.
+V5E_BF16_PEAK_FLOPS = 197e12
 _ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "artifacts", "anchor_cpu_torch.json")
+
+
+def flops_per_point(widths, d) -> float:
+    """Algorithmic (useful) FLOPs per collocation point for one fused
+    PINN training step, matmul terms only.
+
+    Model (documented in BENCHMARKS.md §Roofline): the forward-Laplacian
+    jet carries d+2 streams (value, d gradient components, Laplacian)
+    through every linear layer — per layer each stream costs
+    ``n_in*n_out`` MACs; the in-kernel reverse sweep costs 2x the forward
+    (cotangent propagation W^T@ct plus per-stream weight-gradient outer
+    products), so the step total is ``3 * (d+2) * sum(n_in*n_out)`` MACs
+    = 2x that in FLOPs.  Elementwise jet algebra (activation product
+    rules, ~2% of the matmul MACs at width 64) and the Adam update
+    (O(params), amortised over the batch) are excluded — this is the
+    *useful* count MFU conventions use, so padding/packing waste and
+    bf16x3 multi-pass dots count against utilisation, not as work."""
+    macs_per_stream = sum(a * b for a, b in zip(widths[:-1], widths[1:]))
+    return 3.0 * (d + 2) * macs_per_stream * 2.0
 
 
 def measured_cpu_anchor():
@@ -254,6 +279,12 @@ def _run(all_devices: bool = False, batch: int | None = None,
     agg = N * STEPS / dt
     pts_per_sec = agg / n_dev
     cpu_anchor = measured_cpu_anchor()
+    # MFU / roofline accounting (VERDICT r4 #2): useful FLOPs per point
+    # from the documented matmul model; MFU vs v5e bf16 peak (the fused
+    # default's in-kernel dot precision).  Omitted on the CPU validation
+    # mesh where the peak constant is meaningless.
+    fpp = flops_per_point((d, 64, 64, 64, 64, 1), d)
+    tflops = fpp * pts_per_sec / 1e12
     row = {
         "metric": "collocation pts/sec/chip (residual eval)",
         "value": round(pts_per_sec, 1),
@@ -262,7 +293,16 @@ def _run(all_devices: bool = False, batch: int | None = None,
         "vs_baseline_estimated_a100": round(
             pts_per_sec / A100_PYTORCH_BASELINE_PTS_PER_SEC, 2
         ),
+        "flops_per_point": fpp,
     }
+    if not cpu_mesh:
+        row["tflops_sustained"] = round(tflops, 2)
+        row["mfu_pct_bf16_peak"] = round(100.0 * tflops * 1e12
+                                         / V5E_BF16_PEAK_FLOPS, 2)
+        # the bf16x3 exact modes execute 3 MXU passes per useful dot
+        if kernel_mode == "exact":
+            row["mfu_pct_f32_effective_peak"] = round(
+                100.0 * tflops * 1e12 / (V5E_BF16_PEAK_FLOPS / 3.0), 2)
     if cpu_anchor:
         row["vs_baseline_measured_cpu"] = round(pts_per_sec / cpu_anchor, 1)
     if all_devices:

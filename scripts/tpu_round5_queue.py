@@ -1,0 +1,149 @@
+"""Round-5 TPU queue: close the seed-replication gate under the
+pre-registered metric, then the short acceptance rows.
+
+Supersedes tpu_round4f_queue.py.  Changes vs wave 5:
+  * seeds 0-2 of the selfnorm family re-run under the round-T metric
+    (docs/WAN_FLOOR.md — the round-4 seed-0 row used the void
+    continuum-1/L normalisation and was removed from the ledger);
+  * the short rows (subspace-2d, poisson-5d-neumann) interleave after
+    the first long run so a session that dies mid-queue still lands them;
+  * a stop sentinel (`touch /tmp/q5_stop`) drains the queue at the next
+    segment boundary so the chip can be reclaimed for perf work without
+    killing a run mid-segment (the axon chip SERIALIZES clients);
+  * failed variants are tracked and summarised at the end (ADVICE r4
+    low: a silently dropped variant must not read as 'queue drained').
+
+Run (first thing in a session, after checking nothing else holds the chip):
+
+    NNPDE_SCAN_CHUNK_CAP=100 nohup python scripts/tpu_round5_queue.py \
+        > /tmp/q5.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCREEN = os.path.join(REPO, "artifacts", "wan_floor_screen.json")
+ACCEPT = os.path.join(REPO, "ACCEPTANCE.json")
+ENV = dict(os.environ, NNPDE_SCAN_CHUNK_CAP="100")
+STOP = "/tmp/q5_stop"
+
+# Long (segmented) floor runs, highest value first: three seeds of the
+# declared-metric family feed the median gate.
+LONG = [
+    "winner_grid400_jitter_cos45k_selfnorm",
+    "winner_grid400_jitter_cos45k_selfnorm_seed1",
+    "winner_grid400_jitter_cos45k_selfnorm_seed2",
+]
+# Short acceptance rows: (acceptance.py subcommand, ACCEPTANCE.json row
+# name that marks it done, timeout_s).
+SHORT = [
+    ("poisson-5d-neumann", "poisson_5d_drm_neumann", 1800),
+    ("subspace-2d", "subspace_qho2d_k6", 3600),
+]
+
+failed: list[str] = []
+
+
+def log(msg: str) -> None:
+    print(f"[q5 {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def stop_requested() -> bool:
+    if os.path.exists(STOP):
+        log("stop sentinel seen — draining")
+        return True
+    return False
+
+
+def in_ledger(name: str):
+    try:
+        rows = json.load(open(SCREEN))
+    except Exception:
+        return None
+    for r in rows:
+        if r.get("name") == name and "rel_l2" in r:
+            return float(r["rel_l2"])
+    return None
+
+
+def accept_row_done(row: str) -> bool:
+    try:
+        rows = json.load(open(ACCEPT))
+    except Exception:
+        return False
+    return any(r.get("name") == row for r in rows)
+
+
+def run_gate() -> None:
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/acceptance.py", "seed-replication"],
+            cwd=REPO, env=ENV, timeout=600, capture_output=True, text=True)
+        log(f"gate rc={r.returncode}: {(r.stdout or r.stderr)[-300:]}")
+    except subprocess.TimeoutExpired:
+        log("gate TIMEOUT")
+
+
+def run_short_rows() -> None:
+    for sub, row, tmo in SHORT:
+        if accept_row_done(row):
+            continue
+        if stop_requested():
+            return
+        log(f"short row: acceptance.py {sub}")
+        try:
+            r = subprocess.run(
+                [sys.executable, "scripts/acceptance.py", sub],
+                cwd=REPO, env=ENV, timeout=tmo, capture_output=True, text=True)
+            log(f"{sub} rc={r.returncode}: {(r.stdout or r.stderr)[-300:]}")
+            if r.returncode != 0:
+                failed.append(sub)
+        except subprocess.TimeoutExpired:
+            log(f"{sub} TIMEOUT")
+            failed.append(sub)
+
+
+def main() -> None:
+    run_gate()
+    first_done = False
+    for name in LONG:
+        if stop_requested():
+            break
+        done = in_ledger(name)
+        if done is not None:
+            log(f"{name}: already in ledger ({done:.4g}) — skip")
+            continue
+        log(f"start {name} (segmented; resumes any checkpoint)")
+        ok = False
+        # Progress is checkpointed every segment; a worker fault surfaces
+        # as rc!=0 and one retry picks up from the last completed segment.
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, "scripts/wan_floor.py", "--segmented", name],
+                cwd=REPO, env=ENV, capture_output=True, text=True)
+            log(f"{name} attempt {attempt} rc={r.returncode} "
+                f"tail: {(r.stdout or r.stderr)[-300:]}")
+            if r.returncode == 0:
+                ok = True
+                break
+        if not ok:
+            failed.append(name)
+        run_gate()
+        if not first_done:
+            first_done = True
+            run_short_rows()
+    run_short_rows()
+    if failed:
+        log(f"queue drained, {len(failed)} FAILED: {failed}")
+    else:
+        log("queue drained, all ok")
+
+
+if __name__ == "__main__":
+    main()
