@@ -108,9 +108,20 @@ class PoissonConfig:
         return tuple(self.ks) if self.ks is not None else (1,) * self.dim
 
     def resolved_weights(self) -> Dict[str, float]:
+        bc_default = 1e4 if self.bc_mode == "RB" else 0.0
+        if self.bc_mode == "RB" and self.bc_type == "neumann":
+            # The 1e4 soft-BC default is the reference's *Dirichlet*
+            # tuning (Poisson_ND.py:153 boundary_weight); for Neumann it
+            # drowns the training signal (measured, 2D/4k epochs: DRM
+            # rel-L2 0.96, PINN 3.3e-2).  Zero-Neumann is the NATURAL BC
+            # of the Ritz functional, so DRM needs NO boundary term at
+            # all (bc=0 measures 1.5e-3); the strong form doesn't encode
+            # it, so PINN keeps a mild penalty (bc=100 measures 5.5e-4,
+            # bc=1e4 measures 3.3e-2).
+            bc_default = 0.0 if self.method == "DRM" else 100.0
         w = {
             "pde": 1.0,
-            "bc": 1e4 if self.bc_mode == "RB" else 0.0,
+            "bc": bc_default,
             "data": 1e3 if self.n_data > 0 else 0.0,
             "norm": 0.0,
         }

@@ -36,6 +36,84 @@ def record(name, payload):
     print(f"[acceptance] {name}: {json.dumps(payload)}", flush=True)
 
 
+def hygiene():
+    """Acceptance hygiene (VERDICT r4 #8): every row carries a ``metric``
+    field naming exactly what its headline number measures — gates like
+    the seed-replication median become machine-checkable from the ledger
+    alone — and ``qho2d_trainE_fn_characterized_bias`` is re-kinded to a
+    finding: its dE <= 0.25 'target' re-framed a real FN-trial bias
+    (dE 0.217) as a pass; the honest acceptance protocol for trainable E
+    is the FBC row (dE 5.5e-5), so the FN row stays in the ledger as a
+    measured characterization, not a passing gate."""
+    rows = json.load(open(OUT))
+    BY_NAME = {
+        "poisson_2d_pinn_fused_parity":
+            "rel_l2 of one config trained on the xla vs pallas-fused "
+            "paths (parity gate, not an accuracy target)",
+        "qho2d_trainE_fbc_dE":
+            "max |E_learned - E_exact| over all 6 quantum-number pairs "
+            "(PINN FBC trainable-E, 50k-epoch ledger)",
+        "qho2d_trainE_fn_characterized_bias":
+            "max |E_learned - E_exact| and max best sign-aware MSE over "
+            "the 6 pairs (FN trial, 50k-epoch ledger)",
+        "ipw1d_n3_pinn_fn_lbfgs_polish":
+            "best MSE vs analytic eigenstate, after Adam vs after the "
+            "strong-Wolfe LBFGS polish",
+        "qho1d_n2_pinn_fn_lbfgs_value":
+            "best MSE vs analytic eigenstate: Adam vs Adam+polish vs "
+            "LBFGS-from-scratch (reference mode)",
+    }
+
+    def infer(r):
+        n = r["name"]
+        if n in BY_NAME:
+            return BY_NAME[n]
+        if n.startswith("subspace_"):
+            return ("max eigenvalue rel-err over the k lowest levels vs "
+                    "the exact/FD spectrum (+ principal angles for "
+                    "degenerate clusters where present)")
+        if n.startswith("kh_floquet"):
+            return ("sign-aware rel_l2 vs the Floquet ground truth + "
+                    "quasi-energy |eps_est - eps_ref|")
+        if "kh1d" in n and "dense_L2" in r:
+            return ("sign-aware L2 on the dense 5000-pt FD ground-truth "
+                    "grid + |E_est - E_ref| vs the FD eigenvalue")
+        if "wan" in n and "best_mse" in r and "rel_l2" not in r:
+            return ("best sign-aware MSE vs analytic eigenstate on the "
+                    "eval grid + |E_est - E_exact| (trainable E)")
+        if "best_mse" in r and "rel_l2" not in r:
+            return ("best MSE vs analytic eigenstate on the fixed eval "
+                    "grid (reference IPW/QHO convention)")
+        if "rel_l2" in r and ("ipw2d" in n or "ipw3d" in n or "qho" in n):
+            return ("rel_l2 = sqrt(best sign-aware MSE)/||psi|| on the "
+                    "training meshgrid (raw net output)")
+        if "rel_l2" in r or "rel_l2_median" in str(r.get("target", "")):
+            return ("rel_l2 = best RMSE vs exact on fresh uniform eval "
+                    "points / ||exact|| (raw net output)")
+        return None
+
+    changed = 0
+    for r in rows:
+        if "metric" not in r:
+            m = infer(r)
+            if m:
+                r["metric"] = m
+                changed += 1
+        if r["name"] == "qho2d_trainE_fn_characterized_bias":
+            if r.get("kind") != "finding":
+                r["kind"] = "finding"
+                r["pass"] = None
+                r["note"] = ("re-kinded round 5: dE 0.217 under a 0.25 "
+                             "'target' is a characterized bias, not an "
+                             "acceptance pass; the acceptance protocol "
+                             "is qho2d_trainE_fbc_dE")
+                changed += 1
+    json.dump(rows, open(OUT, "w"), indent=2)
+    missing = [r["name"] for r in rows if "metric" not in r]
+    print(f"[hygiene] updated {changed} rows; still missing metric: "
+          f"{missing}")
+
+
 def run_poisson(dim, method, epochs=10000):
     from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
 
@@ -578,17 +656,24 @@ def check_qho2d_trainE_ledger():
         "max_best_mse": max(m for _, m, _ in fn_mse),
         "max_dE": max(d for _, _, d in fn_mse),
         "source": "artifacts/QHO_2D_Energy_50k/results_QHO_2D.json",
-        "target": "best MSE <= 2e-3 AND dE <= 0.25 — the FN forced-node "
-                  "trial space biases the trainable E (lr-independent, "
-                  "docs/QHO2D_ENERGY.md) while the wavefunction stays "
-                  "accurate; exact-E protocol = the FBC row above",
-        "pass": (all(m <= 2e-3 for _, m, _ in fn_mse)
-                 and all(d <= 0.25 for _, _, d in fn_mse)),
+        "metric": "max |E_learned - E_exact| and max best sign-aware MSE "
+                  "over the 6 pairs (FN trial, 50k-epoch ledger)",
+        # VERDICT r4 #8: a dE <= 0.25 'target' over a measured 0.217
+        # would re-frame a real FN-trial bias as an acceptance pass —
+        # this row is a FINDING (the bias is real, lr-independent,
+        # docs/QHO2D_ENERGY.md; the wavefunction stays accurate at
+        # MSE <= 2e-3); the trainable-E acceptance protocol is the
+        # FBC row above (dE <= 1e-4).
+        "kind": "finding",
+        "pass": None,
     })
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "hygiene":
+        hygiene()
+        sys.exit(0)
     if which in ("all", "qho2d-ledger"):
         check_qho2d_trainE_ledger()
     if which in ("all", "r2-rqmc"):
