@@ -39,6 +39,9 @@ LONG = [
     "winner_grid400_jitter_cos45k_selfnorm",
     "winner_grid400_jitter_cos45k_selfnorm_seed1",
     "winner_grid400_jitter_cos45k_selfnorm_seed2",
+    # critic-width ablation (VERDICT r4 #5): w64 critic at the winner
+    # shape — decides whether the packed fused WAN path is accuracy-viable
+    "winner_grid400_jitter_cos45k_selfnorm_criticw64",
 ]
 # Short acceptance rows: (acceptance.py subcommand, ACCEPTANCE.json row
 # name that marks it done, timeout_s).

@@ -292,6 +292,19 @@ VARIANTS = {
         **({"seed": s} if s else {}),
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     } for s in (0, 1, 2, 3)},
+    # round-5 critic-width ablation (VERDICT r4 #5): the fused WAN
+    # quotient kernels lose their lane-packing win because the w100
+    # critic exceeds the 64-lane 2-point pack (w=100 cannot 2-pack into
+    # 128 lanes; 65..128 runs unpacked-padded already).  If a w64 critic
+    # matches the family floor, the packed fused path becomes viable at
+    # the winner shape; if it regresses, the wide critic is load-bearing
+    # and the packing item closes as 'not the lever'.
+    "winner_grid400_jitter_cos45k_selfnorm_criticw64": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 64, 64, 64, 1), "grid_n": 400, "epochs": 45000,
+        "grid_jitter": True, "eval_selfnorm": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round-Q cheap screen of the same attack (30k, grid300 — compare
     # against winner_grid300_jitter 1.468e-3 and winner_grid300 1.632e-3)
     "winner_grid300_jitter_fixanchor": {
