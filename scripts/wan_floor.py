@@ -486,14 +486,34 @@ def run_segmented(name, overrides, seg_epochs=5000):
         carry = payload["carry"]
         print(f"[wan_floor:{name}] resume at epoch {done}/{cfg.epochs}",
               flush=True)
-    out = None
-    while done < cfg.epochs:
-        n = min(seg_epochs, cfg.epochs - done)
+
+    # Worker-state bimodality guard (docs/WAN_FLOOR.md round Q): the same
+    # program measures ~10.3 OR ~2.7 e/s at the winner shape depending on a
+    # per-process worker state; a slow-mode process turns a 25-min run into
+    # a 2.6 h one.  Fast-mode reference rate is committed below; any
+    # post-compile measurement under 0.5x it means this PROCESS is slow —
+    # checkpoint (already done per segment) and exit rc=75 so the queue
+    # re-forks us, re-rolling the mode.  Resume stays bit-identical because
+    # segments may start at any epoch boundary.
+    fast_eps = float(os.environ.get("NNPDE_FLOOR_FAST_EPS", "10.3"))
+    slow_rc = 75
+
+    def check_rate(n_ep, dt, phase):
+        rate = n_ep / max(dt, 1e-9)
+        if rate < 0.5 * fast_eps:
+            print(f"[wan_floor:{name}] SLOW WORKER ({phase}: "
+                  f"{rate:.2f} e/s < 0.5x{fast_eps}) — exiting rc={slow_rc} "
+                  f"for a re-fork (progress checkpointed)", flush=True)
+            sys.exit(slow_rc)
+
+    def seg(n_ep):
+        nonlocal done, elapsed, carry, out
         t0 = time.time()
         out = train_ipw_2d(cfg, init_carry=carry, start_epoch=done,
-                           run_epochs=n)
-        elapsed += time.time() - t0
-        done += n
+                           run_epochs=n_ep)
+        dt = time.time() - t0
+        elapsed += dt
+        done += n_ep
         carry = out["result"].carry
         atomic_save({"carry": carry, "done_epochs": done,
                      "elapsed_s": elapsed},
@@ -503,6 +523,22 @@ def run_segmented(name, overrides, seg_epochs=5000):
         print(f"[wan_floor:{name}] {done}/{cfg.epochs} epochs, "
               f"best so far {out['rel_l2']:.4g} @ {out['min_epoch']}",
               flush=True)
+        return dt
+
+    out = None
+    if (os.environ.get("NNPDE_FLOOR_PROBE", "1") != "0"
+            and cfg.epochs - done >= 500):
+        # 100-epoch warm segment (absorbs compile, untimed) then a timed
+        # 400-epoch probe: classify the worker mode ~2 min into the process
+        # instead of 30 min into the first full segment.
+        seg(100)
+        dt = seg(400)
+        check_rate(400, dt, "probe")
+    while done < cfg.epochs:
+        n = min(seg_epochs, cfg.epochs - done)
+        dt = seg(n)
+        if done < cfg.epochs:  # finished runs proceed straight to record()
+            check_rate(n, dt, "segment")
     if out is None:
         # ADVICE r4 (medium): resumed AFTER all epochs finished but
         # before the ledger row landed (kill between the final ckpt save
