@@ -191,11 +191,16 @@ def build_parser() -> argparse.ArgumentParser:
              "minimisation over a k-channel net — the reference retrains "
              "per level with orthogonality projections)",
     )
-    p.add_argument("--problem", choices=["qho", "ipw"], default="qho")
+    p.add_argument("--problem", choices=["qho", "ipw", "kh"], default="qho")
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--dim", type=int, default=1, choices=[1, 2])
     p.add_argument("--x-max", type=float, default=6.0,
-                   help="QHO window half-width / IPW box length")
+                   help="QHO/KH window half-width / IPW box length "
+                        "(use ~10 for KH at alpha=10)")
+    p.add_argument("--alpha", type=float, default=10.0,
+                   help="KH only: laser quiver amplitude alpha_0")
+    p.add_argument("--fd-grid-n", type=int, default=5000,
+                   help="KH only: FD ground-truth grid resolution")
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--grid-n", type=int, default=600)
@@ -434,7 +439,9 @@ def _dispatch(args) -> int:
                              x_max=args.x_max, width=args.width,
                              depth=args.depth, grid_n=args.grid_n,
                              eval_grid_n=args.eval_grid_n,
-                             ortho_weight=args.ortho_weight, **kw)
+                             ortho_weight=args.ortho_weight,
+                             alpha=args.alpha, fd_grid_n=args.fd_grid_n,
+                             **kw)
         if args.save_dir:
             from .run import run_subspace
 
@@ -442,8 +449,8 @@ def _dispatch(args) -> int:
         else:
             out = train_subspace(cfg)
         payload = {k_: out[k_] for k_ in
-                   ("eigenvalues", "exact", "eig_rel_err", "max_eig_rel_err",
-                    "best_epoch") if k_ in out}
+                   ("eigenvalues", "exact", "eig_rel_err", "eig_abs_err",
+                    "max_eig_rel_err", "best_epoch") if k_ in out}
         if "max_state_rel_l2" in out:
             payload["state_rel_l2"] = out["state_rel_l2"]
             payload["max_state_rel_l2"] = out["max_state_rel_l2"]

@@ -43,6 +43,7 @@ import optax
 from ..models import NetSpec, factor_for_technique
 from ..models.solution import ChannelSolutionModel
 from ..pde import ipw as ipw_phys
+from ..pde import kh as kh_phys
 from ..pde import qho as qho_phys
 from ..sampling import linspace_grid, meshgrid_2d
 from ..train import fit
@@ -99,6 +100,8 @@ def subspace_eigenpairs(A, G, *, ridge: float = 1e-9):
 @dataclasses.dataclass
 class SubspaceConfig:
     problem: str = "qho"        # 'qho' (window, V=x^2/2) | 'ipw' (box, V=0)
+                                # | 'kh' (window, cycle-averaged KH well;
+                                #   spectrum/states from the FD eigensolver)
     k: int = 4                  # number of simultaneous eigenstates
     dim: int = 1                # 1 | 2 (tensor-product quadrature grid)
     x_max: float = 6.0          # QHO window half-width; IPW box length L
@@ -114,6 +117,8 @@ class SubspaceConfig:
     ridge: float = 1e-6
     seed: int = 0
     chunk: int = 1000
+    alpha: float = 10.0         # KH only: laser quiver amplitude alpha_0
+    fd_grid_n: int = 5000       # KH only: FD ground-truth resolution
 
 
 def _setup(cfg: SubspaceConfig):
@@ -130,6 +135,18 @@ def _setup(cfg: SubspaceConfig):
                                       L=cfg.x_max)
         lo, hi = 0.0, cfg.x_max
         V = None
+    elif cfg.problem == "kh":
+        # Kramers-Henneberger cycle-averaged soft-core well on [-L, L]
+        # (pde/kh.py v_kh_avg — the theta-quadrature of KH_1D.py:32-39),
+        # Dirichlet box matching the FD ground truth.  1D only, levels
+        # non-degenerate, so the 1D state-rel-L2 scoring path applies
+        # with the FD eigenvectors as exact states.
+        if cfg.dim != 1:
+            raise ValueError("KH subspace solver is 1D")
+        factor = factor_for_technique("OG", dim=1, kind="window",
+                                      L=cfg.x_max)
+        lo, hi = -cfg.x_max, cfg.x_max
+        V = lambda X: kh_phys.v_kh_avg(X[:, 0], alpha0=cfg.alpha)
     else:
         raise ValueError(f"unknown subspace problem {cfg.problem!r}")
     if cfg.dim == 1:
@@ -143,11 +160,33 @@ def _setup(cfg: SubspaceConfig):
     return model, X, V, (lo, hi)
 
 
+def _kh_fd_truth(x_max: float, fd_grid_n: int, alpha: float, k: int):
+    """FD ground truth for the KH subspace run (cached per config key).
+
+    Same operator, same Dirichlet box [-L, L] and same cycle-averaged
+    potential as the training loss — the reference's own gold standard
+    (KH_1D.py:46-82 builds exactly this tridiagonal eigensystem)."""
+    key = (float(x_max), int(fd_grid_n), float(alpha), int(k))
+    hit = _KH_FD_CACHE.get(key)
+    if hit is None:
+        hit = kh_phys.reference_eigensystem(
+            L=x_max, N=fd_grid_n, alpha=alpha, k_max=k)
+        _KH_FD_CACHE[key] = hit
+    return hit
+
+
+_KH_FD_CACHE: Dict[tuple, tuple] = {}
+
+
 def _exact_spectrum(cfg: SubspaceConfig) -> np.ndarray:
     """The k lowest exact levels (with multiplicity, for the 2D spectra)."""
     if cfg.dim == 1:
         if cfg.problem == "qho":
             return np.array([qho_phys.energy_1d(n) for n in range(cfg.k)])
+        if cfg.problem == "kh":
+            return np.asarray(
+                _kh_fd_truth(cfg.x_max, cfg.fd_grid_n, cfg.alpha, cfg.k)[1],
+                np.float64)
         return np.array([ipw_phys.energy_1d(n + 1, cfg.x_max)
                          for n in range(cfg.k)])
     pairs = []
@@ -170,6 +209,13 @@ def _exact_states(cfg: SubspaceConfig, X: np.ndarray) -> Optional[np.ndarray]:
     x = X[:, 0]
     if cfg.problem == "qho":
         cols = [qho_phys.psi_1d(n, x) for n in range(cfg.k)]
+    elif cfg.problem == "kh":
+        # FD eigenvectors interpolated onto the eval grid; state_rel_l2
+        # re-normalises both sides on that grid, so the FD trapezoid
+        # normalisation convention drops out.
+        xg, _, psi = _kh_fd_truth(cfg.x_max, cfg.fd_grid_n, cfg.alpha, cfg.k)
+        cols = [np.interp(np.asarray(x, np.float64), xg, psi[:, n])
+                for n in range(cfg.k)]
     else:
         cols = [ipw_phys.psi_1d(n + 1, x, cfg.x_max) for n in range(cfg.k)]
     return np.stack([np.asarray(c) for c in cols], axis=1)

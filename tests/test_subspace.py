@@ -116,6 +116,28 @@ class TestTraining:
         lam = out["eigenvalues"]
         assert all(lam[i] < lam[i + 1] for i in range(k - 1))
 
+    def test_e2e_kh(self):
+        # KH cycle-averaged well (KH_1D.py:32-39), scored vs the FD
+        # tridiagonal eigensystem on the same Dirichlet box
+        # (KH_1D.py:46-82).  The alpha=10 spectrum sits near zero
+        # (E0 ~ -1.4e-3), so the gate is ABSOLUTE eigenvalue error
+        # (spectral width E3-E0 ~ 0.183) + sign-aware state rel-L2.
+        cfg = SubspaceConfig(problem="kh", k=4, x_max=10.0, alpha=10.0,
+                             epochs=3000, width=48, depth=3, grid_n=400,
+                             eval_grid_n=1200, fd_grid_n=4000, chunk=500)
+        out = train_subspace(cfg)
+        assert max(out["eig_abs_err"]) < 2e-2, out["eig_abs_err"]
+        assert out["max_state_rel_l2"] < 0.2, out["state_rel_l2"]
+        lam = out["eigenvalues"]
+        assert all(lam[i] < lam[i + 1] for i in range(cfg.k - 1))
+        # each learned level sits above its FD counterpart (same box, same
+        # operator — FD is variationally below at this resolution scale)
+        assert all(l > e - 1e-4 for l, e in zip(lam, out["exact"]))
+
+    def test_kh_subspace_is_1d_only(self):
+        with pytest.raises(ValueError, match="1D"):
+            _setup(SubspaceConfig(problem="kh", dim=2))
+
     def test_variational_bound_holds_during_training(self):
         # sum(lambda) from the trained subspace can never undercut the true
         # lowest-k sum (quadrature floor aside) — the eval metric is honest.
