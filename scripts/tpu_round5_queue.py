@@ -138,7 +138,10 @@ def main() -> None:
                 cwd=REPO, env=ENV, capture_output=True, text=True)
             if r.returncode == 75:
                 slow_forks += 1
-                log(f"{name} slow-mode fork #{slow_forks} — re-forking")
+                log(f"{name} slow-mode fork #{slow_forks} — re-forking "
+                    f"after a 60 s backoff (a globally-degraded backend "
+                    f"should not burn every re-roll in one slump)")
+                time.sleep(60)
                 continue
             hard_attempts += 1
             log(f"{name} attempt {hard_attempts} rc={r.returncode} "
