@@ -109,3 +109,11 @@ def test_ipw2d_wan_segmented(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(seg2["result"].params),
                     jax.tree_util.tree_leaves(full["result"].params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the BIT-IDENTICAL claim (docs/WAN_FLOOR.md, PARITY.md) covers best
+    # tracking too: best_params/best_metric ride the checkpointed carry
+    np.testing.assert_array_equal(
+        np.asarray(seg2["result"].best_metric),
+        np.asarray(full["result"].best_metric))
+    for a, b in zip(jax.tree_util.tree_leaves(seg2["result"].best_params),
+                    jax.tree_util.tree_leaves(full["result"].best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
