@@ -498,13 +498,54 @@ def run_segmented(name, overrides, seg_epochs=5000):
     fast_eps = float(os.environ.get("NNPDE_FLOOR_FAST_EPS", "10.3"))
     slow_rc = 75
 
+    def _slow_mode_diagnostics():
+        """Discriminate WHERE the slow mode lives (docs/WAN_FLOOR.md round
+        Q left it un-root-caused): host CPU (throttled VM?), dispatch
+        round-trip (tunnel latency?), or on-device compute (degraded
+        worker?).  Runs only on a slow classification — ~2 s."""
+        import numpy as _np
+        import jax as _jax
+        import jax.numpy as _jnp
+        t0 = time.time()
+        a = _np.random.default_rng(0).standard_normal((1024, 1024),
+                                                      dtype=_np.float32)
+        for _ in range(8):
+            a @ a
+        host_ms = (time.time() - t0) / 8 * 1e3
+        tiny = _jax.jit(lambda x: x + 1.0)
+        x = _jnp.zeros((8, 8), _jnp.float32)
+        tiny(x).block_until_ready()
+        t0 = time.time()
+        for _ in range(20):
+            tiny(x).block_until_ready()
+        rtt_ms = (time.time() - t0) / 20 * 1e3
+        big = _jax.jit(lambda m: (m @ m).sum())
+        M = _jnp.ones((2048, 2048), _jnp.bfloat16)
+        big(M).block_until_ready()
+        t0 = time.time()
+        for _ in range(10):
+            big(M).block_until_ready()
+        mm_ms = (time.time() - t0) / 10 * 1e3
+        print(f"[wan_floor:{name}] slow-mode diagnostics: host 1k-matmul "
+              f"{host_ms:.1f} ms, tiny-jit dispatch RTT {rtt_ms:.2f} ms, "
+              f"device 2k-bf16-matmul {mm_ms:.2f} ms", flush=True)
+
     def check_rate(n_ep, dt, phase):
         rate = n_ep / max(dt, 1e-9)
         if rate < 0.5 * fast_eps:
             print(f"[wan_floor:{name}] SLOW WORKER ({phase}: "
                   f"{rate:.2f} e/s < 0.5x{fast_eps}) — exiting rc={slow_rc} "
                   f"for a re-fork (progress checkpointed)", flush=True)
-            sys.exit(slow_rc)
+            import threading
+            # hard watchdog: on a wedged backend the diagnostics' compiles
+            # can hang forever — the process MUST still exit rc=75
+            threading.Timer(120.0, lambda: os._exit(slow_rc)).start()
+            try:
+                _slow_mode_diagnostics()
+            except Exception as e:  # diagnostics must never mask the rc
+                print(f"[wan_floor:{name}] diagnostics failed: {e}",
+                      flush=True)
+            os._exit(slow_rc)
 
     def seg(n_ep):
         nonlocal done, elapsed, carry, out
