@@ -9,4 +9,5 @@ from .trial import (
     product1d,
     factor_for_technique,
 )
+from .inputmap import CosineInputMap
 from .solution import ChannelSolutionModel, SolutionModel

@@ -35,13 +35,23 @@ from .trial import SeparableFactor
 class SolutionModel:
     """Static model description; parameters live in a separate pytree."""
 
-    def __init__(self, spec: NetSpec, factor: Optional[SeparableFactor] = None):
+    def __init__(self, spec: NetSpec, factor: Optional[SeparableFactor] = None,
+                 input_map=None):
         self.spec = spec
         self.factor = factor
+        # Optional elementwise input feature map with analytic jets
+        # (models/inputmap.py) — hard-enforces DERIVATIVE boundary
+        # conditions (zero-Neumann) the way the output factor hard-enforces
+        # Dirichlet.  Composes with the factor: u = B(x) * g(z(x)).
+        self.input_map = input_map
         self.dim = spec.layers[0]
         if factor is not None and factor.dim != self.dim:
             raise ValueError(
                 f"factor dim {factor.dim} != net input dim {self.dim}"
+            )
+        if input_map is not None and input_map.dim != self.dim:
+            raise ValueError(
+                f"input_map dim {input_map.dim} != net input dim {self.dim}"
             )
 
     # ------------------------------------------------------------------ init
@@ -50,13 +60,15 @@ class SolutionModel:
 
     # --------------------------------------------------------------- forward
     def apply_point(self, params, x):
-        u = mlp_apply_point(params, x, self.spec.activation)
+        z = self.input_map.value(x) if self.input_map is not None else x
+        u = mlp_apply_point(params, z, self.spec.activation)
         if self.factor is not None:
             u = u * self.factor.value_point(x)
         return u
 
     def apply_batch(self, params, X):
-        u = mlp_apply_batch(params, X, self.spec.activation)
+        Z = self.input_map.value(X) if self.input_map is not None else X
+        u = mlp_apply_batch(params, Z, self.spec.activation)
         if self.factor is not None:
             u = u * self.factor.value(X)
         return u
@@ -73,6 +85,11 @@ class SolutionModel:
         fwd_impl, dot_dtype, lane_pack — perf tuning knobs).
         """
         if impl == "pallas":
+            if self.input_map is not None:
+                raise ValueError(
+                    "input_map (hard-Neumann features) is supported on the "
+                    "XLA jet path only — use impl='xla'"
+                )
             from ..kernels import mlp_fwdlap_pallas
 
             # 'auto' forward: VMEM jet kernel whenever the per-point jet
@@ -83,7 +100,10 @@ class SolutionModel:
             jet = mlp_fwdlap_pallas(params, X, self.spec.activation,
                                     **kernel_opts)
         else:
-            jet = mlp_fwdlap(params, X, self.spec.activation)
+            seed = (self.input_map.jet(X)
+                    if self.input_map is not None else None)
+            jet = mlp_fwdlap(params, X, self.spec.activation,
+                             input_jet=seed)
         if self.factor is not None:
             jet = compose_product_jet(jet, self.factor.jet(X))
         return jet

@@ -68,20 +68,34 @@ def activation_jet(name: str):
     raise ValueError(f"Unknown activation {name!r}")
 
 
-def mlp_fwdlap(params, X, activation: str) -> Jet:
+def mlp_fwdlap(params, X, activation: str, input_jet=None) -> Jet:
     """Exact (u, grad u, lap u) of a scalar MLP over a collocation batch.
 
     ``params``: sequence of ``(W (in,out), b (out,))`` tuples, activation
     applied between layers (not after the last).  ``X``: (N, d).
+
+    ``input_jet``: optional ``(z, z', z'')`` seed, each (N, d), for a net
+    applied to ELEMENTWISE features ``z(x)`` (diagonal Jacobian — e.g. the
+    hard-Neumann cosine map, :mod:`nnpde_tpu.models.inputmap`).  The
+    recurrence then propagates the jet of ``g(z(x))`` w.r.t. ``x``:
+    the first linear layer seeds ``J[n,i,:] = z_i'(x_n) W0[i,:]`` and the
+    Laplacian stream ``l = z'' @ W0`` (chain rule; zero for the identity
+    map, where ``z'' = 0`` and ``z' = 1``).
     """
     s, s1, s2 = activation_jet(activation)
     N, d = X.shape
 
     W0, b0 = params[0]
-    v = X @ W0 + b0                                        # (N, w)
-    # W0 is (d, w); dz_k/dx_i = W0[i, k]  =>  J[n, i, :] = W0[i, :]
-    J = jnp.broadcast_to(W0[None, :, :], (N, d, W0.shape[1]))
-    l = jnp.zeros_like(v)                                  # (N, w)
+    if input_jet is None:
+        v = X @ W0 + b0                                    # (N, w)
+        # W0 is (d, w); dz_k/dx_i = W0[i, k]  =>  J[n, i, :] = W0[i, :]
+        J = jnp.broadcast_to(W0[None, :, :], (N, d, W0.shape[1]))
+        l = jnp.zeros_like(v)                              # (N, w)
+    else:
+        z, z1, z2 = input_jet
+        v = z @ W0 + b0                                    # (N, w)
+        J = z1[:, :, None] * W0[None, :, :]                # (N, d, w)
+        l = z2 @ W0                                        # (N, w)
 
     for (W, b) in params[1:]:
         s1v = s1(v)

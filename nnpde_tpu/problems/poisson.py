@@ -139,11 +139,6 @@ def _solution_model(cfg: PoissonConfig) -> SolutionModel:
     )
     if cfg.bc_mode not in ("FBC", "RB"):
         raise ValueError("bc_mode must be 'FBC' or 'RB'")
-    if cfg.bc_type == "neumann" and cfg.bc_mode == "FBC":
-        raise ValueError(
-            "Neumann BCs need the soft penalty (bc_mode='RB'): the FBC "
-            "trial factor hard-enforces Dirichlet"
-        )
     if cfg.bc_type not in ("dirichlet", "neumann"):
         raise ValueError("bc_type must be 'dirichlet' or 'neumann'")
     if cfg.bc_type == "neumann" and cfg.solution != "cos":
@@ -152,6 +147,17 @@ def _solution_model(cfg: PoissonConfig) -> SolutionModel:
             "pass solution='cos' (the prod-sin family has nonzero boundary "
             "gradients and nonzero mean)"
         )
+    if cfg.bc_type == "neumann" and cfg.bc_mode == "FBC":
+        # A multiplicative factor cannot hard-enforce a DERIVATIVE
+        # condition; the input cosine feature map can (du/dn = 0 exactly
+        # on every face, models/inputmap.py).  FBC+neumann means HARD
+        # Neumann: raw net on cos features, no output factor — measured
+        # to fix the soft-path failure (RB 1.2e-2 at 5D/20k; see
+        # scripts/acceptance.py run_poisson_5d_drm_neumann).
+        from ..models import CosineInputMap
+
+        return SolutionModel(NetSpec(layers, activation="sin"),
+                             input_map=CosineInputMap(cfg.dim, 0.0, cfg.L))
     return SolutionModel(NetSpec(layers, activation="sin"), factor)
 
 

@@ -653,6 +653,45 @@ def run_poisson_5d_drm_neumann(epochs=20000):
         "elapsed_s": round(time.time() - t0, 1),
         "target": "rel_l2 <= 1e-3 at <= 20k epochs",
         "pass": out["rel_l2"] <= 1e-3,
+        # measured 1.22e-2 (2026-08-19): mean-drift diagnosis cleared the
+        # constant gauge (mean-corrected == raw) — the soft/natural path
+        # converges too slowly at 5D.  Kept as the honest soft-path
+        # finding; the capability row is poisson_5d_drm_neumann_hard.
+        "kind": "finding",
+        "superseded_by": "poisson_5d_drm_neumann_hard",
+    })
+
+
+def run_poisson_5d_drm_neumann_hard(epochs=30000):
+    """HARD-Neumann 5D DRM row (VERDICT r4 #3, second attack): the cosine
+    input feature map (models/inputmap.py) makes du/dn = 0 exactly on
+    every face — a derivative condition an output factor cannot enforce —
+    and turns the prod-cos exact solution into a multilinear polynomial of
+    the features.  Measured head-to-head at 5D/2k-epoch CPU budget:
+    hard 0.122 vs soft 0.690.  Target declared before the TPU run:
+    rel_l2 <= 1e-3 at <= 30k epochs.  Supersedes the reference's
+    claimed-but-unimplemented Neumann support
+    (/root/reference/README.md:23 vs Poisson_ND.py:130-141)."""
+    from nnpde_tpu.problems.poisson import PoissonConfig, train_poisson_nd
+
+    t0 = time.time()
+    out = train_poisson_nd(PoissonConfig(
+        dim=5, method="DRM", bc_mode="FBC", bc_type="neumann",
+        solution="cos", epochs=epochs, chunk=2000,
+        n_interior=32768, sampler="sobol", resample=True,
+        lr_schedule="cosine",
+    ))
+    record("poisson_5d_drm_neumann_hard", {
+        "rel_l2": out["rel_l2"], "best_epoch": out["best_epoch"],
+        "epochs": epochs, "n_interior": 32768, "sampler": "sobol",
+        "resample": True, "lr_schedule": "cosine",
+        "bc_type": "neumann", "bc_mode": "FBC (hard: cosine input map)",
+        "solution": "cos",
+        "metric": "rel_l2 (raw net output) vs prod-cos exact on fresh "
+                  "uniform eval points",
+        "elapsed_s": round(time.time() - t0, 1),
+        "target": "rel_l2 <= 1e-3 at <= 30k epochs",
+        "pass": out["rel_l2"] <= 1e-3,
     })
 
 
@@ -715,6 +754,8 @@ if __name__ == "__main__":
         run_poisson_5d_drm_rqmc()
     if which in ("all", "poisson-5d-neumann"):
         run_poisson_5d_drm_neumann()
+    if which in ("all", "poisson-5d-neumann-hard"):
+        run_poisson_5d_drm_neumann_hard()
     if which in ("all", "fused"):
         run_poisson_fused_parity()
     if which in ("all", "ipw3d"):

@@ -47,6 +47,7 @@ LONG = [
 # name that marks it done, timeout_s).
 SHORT = [
     ("poisson-5d-neumann", "poisson_5d_drm_neumann", 1800),
+    ("poisson-5d-neumann-hard", "poisson_5d_drm_neumann_hard", 1800),
     ("subspace-2d", "subspace_qho2d_k6", 3600),
     ("subspace-kh", "subspace_kh_k4", 1800),
 ]

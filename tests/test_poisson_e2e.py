@@ -92,10 +92,60 @@ def test_neumann_drm_natural_bc():
     assert out["rel_l2"] < 5e-3, out["rel_l2"]
 
 
-def test_neumann_requires_rb():
+def test_neumann_hard_bc_is_exact():
+    """bc_mode='FBC' + bc_type='neumann' = HARD Neumann via the cosine
+    input feature map (models/inputmap.py): du/dn vanishes identically on
+    every face, for any parameters — no penalty, nothing to trade off."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.models import CosineInputMap, NetSpec, SolutionModel
+
+    L = 2.0
+    model = SolutionModel(NetSpec((3, 24, 24, 1), activation="sin"),
+                          input_map=CosineInputMap(3, 0.0, L))
+    params = model.init(jax.random.PRNGKey(3))
+    X = jax.random.uniform(jax.random.PRNGKey(4), (128, 3), maxval=L)
+    for axis, face in ((0, 0.0), (1, L), (2, 0.0)):
+        g = model.fields(params, X.at[:, axis].set(face)).grad
+        assert float(jnp.abs(g[:, axis]).max()) < 1e-6
+    # jets through the input map match the autodiff oracle (f32)
+    jet = model.fields(params, X)
+    oracle = model.fields_generic(params, X)
+    np.testing.assert_allclose(jet.value, oracle.value, atol=1e-6)
+    np.testing.assert_allclose(jet.grad, oracle.grad, atol=2e-5)
+    np.testing.assert_allclose(jet.lap, oracle.lap, atol=2e-4)
+
+
+def test_neumann_hard_drm_converges():
+    """Hard-Neumann DRM (no boundary term at all, mean pin only).
+    Measured 2.37e-3 on this config; the 5D full-scale row is
+    poisson_5d_drm_neumann_hard in scripts/acceptance.py."""
+    out = train_poisson_nd(small_cfg(
+        dim=2, method="DRM", bc_mode="FBC", bc_type="neumann",
+        solution="cos", n_interior=2048, epochs=4000, chunk=500,
+        sampler="sobol", resample=True, lr_schedule="cosine",
+    ))
+    assert out["rel_l2"] < 5e-3, out["rel_l2"]
+
+
+def test_neumann_hard_rejects_pallas_jets():
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="Neumann"):
-        train_poisson_nd(small_cfg(bc_mode="FBC", bc_type="neumann", epochs=1))
+
+    from nnpde_tpu.models import CosineInputMap, NetSpec, SolutionModel
+
+    model = SolutionModel(NetSpec((2, 16, 1), activation="sin"),
+                          input_map=CosineInputMap(2))
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (8, 2))
+    with _pytest.raises(ValueError, match="input_map"):
+        model.fields(params, X, impl="pallas")
+
+
+def test_neumann_hard_still_requires_cos_family():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cos"):
+        train_poisson_nd(small_cfg(bc_mode="FBC", bc_type="neumann",
+                                   solution="sin", epochs=1))
 
 
 def test_default_weights_match_reference():
