@@ -94,8 +94,8 @@ def run_poisson_nd(cfg: PoissonConfig, save_dir: str = "results/ND_Poisson") -> 
     meta = {
         "problem": "poisson_nd", "timestamp": ts,
         "layers": [cfg.dim] + [cfg.width] * (cfg.depth - 1) + [1],
-        "activation": "sin", "bc_mode": cfg.bc_mode, "L": cfg.L,
-        "ks": list(ks),
+        "activation": "sin", "bc_mode": cfg.bc_mode, "bc_type": cfg.bc_type,
+        "L": cfg.L, "ks": list(ks),
     }
     extra = {
         "method": cfg.method, "bc_mode": cfg.bc_mode, "dim": cfg.dim,

@@ -56,6 +56,14 @@ def build_solution_model(meta: Dict) -> SolutionModel:
 
     if problem in ("poisson_nd",):
         dim = layers[0]
+        if (meta.get("bc_type", "dirichlet") == "neumann"
+                and meta.get("bc_mode", "FBC") == "FBC"):
+            # hard Neumann: raw net on the cosine input features
+            # (models/inputmap.py) — no output factor
+            from .inputmap import CosineInputMap
+
+            return SolutionModel(
+                spec, input_map=CosineInputMap(dim, 0.0, meta["L"]))
         factor = factor_for_technique(
             "FBC" if meta.get("bc_mode", "FBC") == "FBC" else "RB",
             dim=dim, kind="box", L=meta["L"],

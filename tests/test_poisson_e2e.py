@@ -141,6 +141,24 @@ def test_neumann_hard_rejects_pallas_jets():
         model.fields(params, X, impl="pallas")
 
 
+def test_neumann_hard_registry_roundtrip():
+    """Checkpoint metadata rebuilds the hard-Neumann model (input map
+    included) — bc_type now travels in the meta dict (exp/run.py)."""
+    import jax.numpy as jnp
+
+    from nnpde_tpu.models.registry import build_solution_model
+
+    meta = {"problem": "poisson_nd", "layers": [3, 16, 1],
+            "activation": "sin", "bc_mode": "FBC", "bc_type": "neumann",
+            "L": 2.0, "ks": [1, 1, 1]}
+    model = build_solution_model(meta)
+    assert model.input_map is not None and model.factor is None
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), maxval=2.0)
+    g = model.fields(params, X.at[:, 2].set(2.0)).grad
+    assert float(jnp.abs(g[:, 2]).max()) < 1e-6
+
+
 def test_neumann_hard_still_requires_cos_family():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cos"):
