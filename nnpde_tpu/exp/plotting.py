@@ -240,6 +240,49 @@ def plot_floquet_harmonics(x, phi_re, phi_im, gt_re, gt_im, M: int,
     return out_png
 
 
+def plot_subspace_states(x, U, lam, out_png: str, psi=None, V=None,
+                         scale: float = 0.35) -> str:
+    """Spectrum 'waterfall': each recovered eigenstate u_m, unit-normalised
+    and offset by its eigenvalue lambda_m, over the potential; exact states
+    (when the level ordering is unambiguous) as dots.  One figure shows the
+    whole output of a subspace run — k levels from ONE training — which the
+    reference cannot produce in any single run (it retrains per level,
+    IPW_1D_PINN_DRM.py:250-261)."""
+    rcParams.update(STYLE)
+    x = np.asarray(x)
+    U = np.asarray(U)
+    lam = np.asarray(lam)
+    k = U.shape[1]
+    span = float(lam[-1] - lam[0]) if k > 1 else 1.0
+    amp = scale * (span / max(k - 1, 1)) if k > 1 else scale
+    fig, ax = plt.subplots(figsize=(10, 6))
+    if V is not None:
+        ax.plot(x, np.asarray(V), color="0.55", alpha=0.8, label="$V(x)$")
+    colors = plt.cm.viridis(np.linspace(0.0, 0.85, k))
+    stride = max(1, len(x) // 64)
+    for m in range(k):
+        u = U[:, m] / (np.abs(U[:, m]).max() + 1e-30)
+        if psi is not None:
+            p = np.asarray(psi)[:, m]
+            p = p / (np.abs(p).max() + 1e-30)
+            if np.mean((u - p) ** 2) > np.mean((u + p) ** 2):
+                u = -u
+            ax.plot(x[::stride], lam[m] + amp * p[::stride], linestyle="none",
+                    marker="o", markersize=2.5, alpha=0.55, color=colors[m])
+        ax.axhline(lam[m], color=colors[m], linewidth=0.6, alpha=0.5)
+        ax.plot(x, lam[m] + amp * u, color=colors[m],
+                label=f"$u_{{{m}}}$, $\\lambda$={lam[m]:.5g}")
+    ax.set_xlabel("x")
+    ax.set_ylabel("energy offset + scaled state")
+    ax.set_title(f"subspace solver: {k} lowest eigenpairs from one run")
+    ax.legend(fontsize=8, ncol=2)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    return out_png
+
+
 def plot_solution_gt(x, psi_ref, u_pred, v_x, e_est, method: str, n: int,
                      out_png: str) -> str:
     """KH overlay: FD reference, prediction, dressed potential

@@ -341,9 +341,18 @@ def run_subspace(cfg, save_dir: str = "results/Subspace") -> Dict:
         **({"max_state_rel_l2": out["max_state_rel_l2"]}
            if "max_state_rel_l2" in out else {}),
     }
-    return _persist(out, save_dir=save_dir,
-                    results_file="results_Subspace.json",
-                    tag=tag, meta=meta, extra_row=extra)
+    persisted = _persist(out, save_dir=save_dir,
+                         results_file="results_Subspace.json",
+                         tag=tag, meta=meta, extra_row=extra)
+    if "_states" in out:
+        from .plotting import plot_subspace_states
+
+        x, U, V, psi = out["_states"]
+        png = plot_subspace_states(
+            x, U, out["eigenvalues"],
+            os.path.join(save_dir, f"{tag}_states.png"), psi=psi, V=V)
+        persisted["row"]["states_plot"] = png
+    return persisted
 
 
 def plot_ipw_3d_slice(out: Dict, save_dir: str, tag: str, z_frac: float = 0.5,

@@ -423,6 +423,11 @@ def evaluate_subspace(cfg: SubspaceConfig, model, params) -> Dict:
         "max_eig_rel_err": float(np.max(rel_err)),
     }
     psi = _exact_states(cfg, np.asarray(Xd))
+    if cfg.dim == 1:
+        # dense-grid states for post-processing (exp/run.run_subspace plots
+        # the recovered spectrum); private key — never serialised
+        out["_states"] = (np.asarray(Xd)[:, 0], U,
+                          np.asarray(Vd) if Vd is not None else None, psi)
     if psi is not None:
         rels = []
         for m in range(cfg.k):

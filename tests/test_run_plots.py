@@ -87,3 +87,16 @@ def test_ipw3d_slice_plot(tmp_path):
     import os
 
     assert os.path.exists(p)
+
+
+def test_run_subspace_emits_states_plot(tmp_path):
+    from nnpde_tpu.exp.run import run_subspace
+    from nnpde_tpu.problems.subspace import SubspaceConfig
+
+    out = run_subspace(
+        SubspaceConfig(problem="ipw", k=2, x_max=1.0, epochs=60, width=16,
+                       depth=2, grid_n=64, eval_grid_n=128, chunk=30),
+        save_dir=str(tmp_path),
+    )
+    assert os.path.exists(out["row"]["states_plot"])
+    assert os.path.getsize(out["row"]["states_plot"]) > 20_000
