@@ -26,14 +26,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(impl: str, grid: int, e1: int, e2: int, chunk: int):
+def run(impl: str, grid: int, e1: int, e2: int, chunk: int,
+        v_width: int = 100):
     from nnpde_tpu.problems.ipw2d import IPW2DConfig, train_ipw_2d
 
     def cfg(epochs):
         return IPW2DConfig(
             nx=3, ny=3, method="WAN", technique="FN", epochs=epochs,
             lr_schedule="cosine", minimax="extragradient", v_lr=4e-3,
-            v_layers=(2, 100, 100, 100, 1), grid_n=grid,
+            v_layers=(2, v_width, v_width, v_width, 1), grid_n=grid,
             weights={"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
             jet_impl=impl, chunk=chunk, seed=0,
         )
@@ -56,7 +57,8 @@ def run(impl: str, grid: int, e1: int, e2: int, chunk: int):
                 "warning": f"non-separable timing (t1={t1:.2f}, t2={t2:.2f})"
                            " — raise --e1/--e2"}
     return {
-        "impl": impl, "grid": grid, "e1": e1, "e2": e2,
+        "impl": impl, "grid": grid, "v_width": v_width,
+        "e1": e1, "e2": e2,
         "t1_s": round(t1, 2), "t2_s": round(t2, 2),
         "epochs_per_sec": round(eps, 3),
         "pts_per_sec": round(eps * grid * grid, 1),
@@ -90,6 +92,9 @@ def main():
     ap.add_argument("--e1", type=int, default=200)
     ap.add_argument("--e2", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=200)
+    ap.add_argument("--v-width", type=int, default=100,
+                    help="critic hidden width (100 = winner shape; 64 = "
+                         "the lane-packable ablation shape, VERDICT r4 #5)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--forks", type=int, default=3,
                     help="fast-mode measurements required per impl")
@@ -127,7 +132,8 @@ def main():
                     argv = [sys.executable, os.path.abspath(__file__),
                             "--grid", str(a.grid), "--impls", impl,
                             "--e1", str(a.e1), "--e2", str(a.e2),
-                            "--chunk", str(a.chunk), "--no-isolate",
+                            "--chunk", str(a.chunk),
+                            "--v-width", str(a.v_width), "--no-isolate",
                             "--out", tf.name]
                     # capture the leaf's stdout (its row re-prints below
                     # with the fork index; letting it through doubles rows)
@@ -171,7 +177,7 @@ def main():
                        "grid": a.grid}, open(a.out, "w"), indent=1)
         return
     for impl in impls:
-        row = run(impl, a.grid, a.e1, a.e2, a.chunk)
+        row = run(impl, a.grid, a.e1, a.e2, a.chunk, v_width=a.v_width)
         print(json.dumps(row))
         rows.append(row)
     if a.out:
