@@ -305,6 +305,19 @@ VARIANTS = {
         "grid_jitter": True, "eval_selfnorm": True,
         "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
     },
+    # round-5 cheap screen of the critic-width ablation: same question as
+    # the 45k row above at the grid300/30k screening shape, where the
+    # matched w100 comparator is committed (winner_grid300_jitter
+    # 1.4675e-3 @30k, raw metric).  Scored RAW so the comparison is
+    # metric-matched; amplitude wander is a norm-anchor property shared
+    # by both widths, so a w64 match/regression here is attributable to
+    # the critic.  One 45k run does not fit a bounded session; this does.
+    "winner_grid300_jitter_criticw64": {
+        "minimax": "extragradient", "v_lr": 4e-3,
+        "v_layers": (2, 64, 64, 64, 1), "grid_n": 300,
+        "grid_jitter": True,
+        "weights": {"parity": 1000.0, "symmetry": 1000.0, "norm": 1e4},
+    },
     # round-Q cheap screen of the same attack (30k, grid300 — compare
     # against winner_grid300_jitter 1.468e-3 and winner_grid300 1.632e-3)
     "winner_grid300_jitter_fixanchor": {
